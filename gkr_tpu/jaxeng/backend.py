@@ -1,0 +1,126 @@
+"""JaxBackend: device-resident implementation of the prover's compute
+interface (layer sumcheck, MLE structure, line restriction, sparse forms).
+
+Small tables (k <= host_threshold) fall back to the exact host engine —
+dispatch latency dominates below ~2^12 entries; the device path pays off on
+the large layers where the reference's rayon hot loop lives
+(rust/src/gkr/sumcheck.rs:50-124)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..field import P, interpolate
+from ..mle import MleStruct, line, mle_struct, restrict_to_line, sparse_from_dense
+from ..sumcheck import prove_layer_sumcheck
+from . import limbs as L
+from .sumcheck import prove_layer_sumcheck_jax
+
+
+@jax.jit
+def _mobius_dev(C):
+    n = C.shape[0]
+    k = n.bit_length() - 1
+    for j in range(k):
+        C = C.reshape((1 << j, 2, n >> (j + 1), 16))
+        lo, hi = C[:, 0], C[:, 1]
+        C = jnp.stack([lo, L.sub_mod(hi, lo)], axis=1)
+    return C.reshape(n, 16)
+
+
+@jax.jit
+def _nonzero_bitmap(C):
+    return jnp.any(C != 0, axis=-1)
+
+
+@jax.jit
+def _multi_point_fold(W, pts):
+    """Evaluate the MLE of W (n, 16) at npts points (npts, k, 16)."""
+    npts = pts.shape[0]
+    n = W.shape[0]
+    k = pts.shape[1]
+    T = jnp.broadcast_to(W, (npts, n, 16))
+    for j in range(k):
+        half = T.shape[1] // 2
+        lo, hi = T[:, :half], T[:, half:]
+        diff = L.sub_mod(hi, lo)
+        r = jnp.broadcast_to(pts[:, j][:, None, :], diff.shape)
+        T = L.add_mod(lo, L.mont_mul(diff, r))
+    return T[:, 0]
+
+
+def _struct_from_bitmap(nz: np.ndarray, k: int) -> MleStruct:
+    idx = np.nonzero(nz)[0]
+    if idx.size == 0:
+        return MleStruct(k, True, [False] * k, 0)
+    support = [bool(((idx >> (k - 1 - j)) & 1).any()) for j in range(k)]
+    pop = np.zeros_like(idx)
+    v = idx.copy()
+    while v.any():
+        pop += v & 1
+        v >>= 1
+    return MleStruct(k, False, support, int(pop.max()))
+
+
+class JaxBackend:
+    """Device compute backend.  Caches packed tables per layer index."""
+
+    def __init__(self, host_threshold: int = 10):
+        self.host_threshold = host_threshold
+        self._packed: dict[int, jnp.ndarray] = {}
+
+    # -- helpers ----------------------------------------------------------
+
+    def _use_host(self, k: int) -> bool:
+        return k <= self.host_threshold
+
+    def packed(self, layer_idx: int, w_values) -> jnp.ndarray:
+        t = self._packed.get(layer_idx)
+        if t is None or t.shape[0] != len(w_values):
+            t = L.pack(w_values)
+            self._packed[layer_idx] = t
+        return t
+
+    # -- prover interface -------------------------------------------------
+
+    def mle_struct(self, w_values, layer_idx: int | None = None) -> MleStruct:
+        k = (len(w_values)).bit_length() - 1
+        if self._use_host(k):
+            return mle_struct(w_values)
+        W = self.packed(layer_idx, w_values) if layer_idx is not None else L.pack(w_values)
+        nz = np.asarray(jax.device_get(_nonzero_bitmap(_mobius_dev(W))))
+        return _struct_from_bitmap(nz, k)
+
+    def layer_sumcheck(self, z, w_next, add_gates, mult_gates,
+                       k_cur, k_next, w_struct, transcript,
+                       layer_idx: int | None = None):
+        if self._use_host(k_next):
+            return prove_layer_sumcheck(z, w_next, add_gates, mult_gates,
+                                        k_cur, k_next, w_struct, transcript)
+        w_dev = self.packed(layer_idx, w_next) if layer_idx is not None else None
+        return prove_layer_sumcheck_jax(z, w_next, add_gates, mult_gates,
+                                        k_cur, k_next, w_struct, transcript,
+                                        w_dev=w_dev)
+
+    def restrict_to_line(self, w_values, b, c, struct,
+                         layer_idx: int | None = None):
+        k = len(b)
+        if self._use_host(k):
+            return restrict_to_line(w_values, b, c, struct)
+        if struct.empty:
+            return [0]
+        deg = struct.maxdeg
+        pts = [line(b, c, t) for t in range(deg + 1)]
+        flat = [x for pt in pts for x in pt]
+        pts_dev = L.pack(flat).reshape(deg + 1, k, 16)
+        W = self.packed(layer_idx, w_values) if layer_idx is not None else L.pack(w_values)
+        ys = L.unpack(_multi_point_fold(W, pts_dev))
+        return interpolate(list(zip(range(deg + 1), ys)))
+
+    def sparse_from_dense(self, w_values):
+        # Sparse term lists appear only at protocol boundaries; host is fine
+        # for the output layer, and exact for any size.
+        return sparse_from_dense(w_values)

@@ -1,0 +1,213 @@
+"""GKR layer sumcheck on the JAX device engine.
+
+Same two-phase linear-time algorithm as the exact host engine
+(gkr_tpu/sumcheck.py) with the tables held on device as Montgomery limb
+arrays:
+
+  * the four phase-1 tables (W, HA1, HA2, HM) are stacked on a trailing
+    batch axis -> every fold / evaluate / multiply is ONE fused XLA program
+    over a (n, t, 16) array;
+  * per round, one jitted program produces the three evaluations
+    g_j(0), g_j(1), g_j(2) (deg <= 2); the 96 bytes come back to the host,
+    which derives the coefficient vector (structural-length rules shared
+    with the host engine) and the MiMC challenge, then one jitted fold
+    binds the round variable;
+  * wiring tables are built by gather + scatter-add of per-gate eq weights
+    in relaxed limb form, renormalized once per 2^15-gate chunk.
+
+Programs are compiled once per (k, table-size) and cached (in-process +
+persistent cache), so the Python-driven round loop costs two dispatches per
+round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..field import P
+from ..mimc import Mimc7
+from ..mle import MleStruct
+from ..sumcheck import coeffs_from_evals_deg2, round_poly_len, shape_coeffs
+from . import limbs as L
+
+SCATTER_CHUNK = 1 << 15
+
+
+# ------------------------------------------------------------ jitted kernels
+
+@jax.jit
+def _phase1_eval(S):
+    """S: (n, 4, 16) stacked [W, HA1, HA2, HM] -> y: (3, 16) evaluations of
+    the round polynomial at t = 0, 1, 2."""
+    lo, hi, at2 = L.eval3_halves(S)              # each (n/2, 4, 16)
+    T = jnp.stack([lo, hi, at2])                 # (3, n/2, 4, 16)
+    w, ha1, ha2, hm = T[:, :, 0], T[:, :, 1], T[:, :, 2], T[:, :, 3]
+    term = L.add_mod(L.mont_mul(L.add_mod(ha1, hm), w), ha2)   # (3, n/2, 16)
+    return L.sum_mod(jnp.swapaxes(term, 0, 1))   # fold (n/2) leading -> (3,16)
+
+
+@jax.jit
+def _phase2_eval(S, wb):
+    """S: (n, 3, 16) stacked [Wc, FA, FMwb]; wb: (16,) = W~(b*).
+    y_t = sum FA_t*(wb + W_t) + FMwb_t*W_t."""
+    lo, hi, at2 = L.eval3_halves(S)
+    T = jnp.stack([lo, hi, at2])                 # (3, n/2, 3, 16)
+    w, fa, fmwb = T[:, :, 0], T[:, :, 1], T[:, :, 2]
+    wbb = jnp.broadcast_to(wb, w.shape)
+    term = L.add_mod(L.mont_mul(fa, L.add_mod(wbb, w)),
+                     L.mont_mul(fmwb, w))
+    return L.sum_mod(jnp.swapaxes(term, 0, 1))
+
+
+@jax.jit
+def _fold(S, r):
+    return L.fold_tables(S, r)
+
+
+@jax.jit
+def _gather_weights(eqz, out_idx, mask):
+    e = eqz[out_idx]
+    return jnp.where(mask[:, None], e, jnp.uint32(0))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _scatter_pair(weights, w_table, l_idx, r_idx, n):
+    """Phase-1 scatters for one gate chunk: returns (h_cnt, h_val) where
+    h_cnt[b] += weight_g for l_g == b and h_val[b] += weight_g * W[r_g]."""
+    zeros = jnp.zeros((n, 16), jnp.uint32)
+    h_cnt = L.normalize_relaxed(zeros.at[l_idx].add(weights))
+    prod = L.mont_mul(weights, w_table[r_idx])
+    h_val = L.normalize_relaxed(zeros.at[l_idx].add(prod))
+    return h_cnt, h_val
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _scatter_phase2(weights, eqb, l_idx, r_idx, n):
+    """F[c] += eq(z,out)*eq(b*,left) at c = right."""
+    zeros = jnp.zeros((n, 16), jnp.uint32)
+    e2 = L.mont_mul(weights, eqb[l_idx])
+    return L.normalize_relaxed(zeros.at[r_idx].add(e2))
+
+
+@jax.jit
+def _add_tables(a, b):
+    return L.add_mod(a, b)
+
+
+@jax.jit
+def _mul_tables(a, b):
+    return L.mont_mul(a, b)
+
+
+# --------------------------------------------------------------- gate arrays
+
+def _gate_arrays(gates, pad_to=None):
+    g = np.asarray(gates, dtype=np.int32).reshape(-1, 3)
+    n = len(g)
+    if pad_to is None:
+        pad_to = max(1, 1 << (n - 1).bit_length()) if n else 1
+    mask = np.zeros(pad_to, dtype=bool)
+    mask[:n] = True
+    padded = np.zeros((pad_to, 3), dtype=np.int32)
+    padded[:n] = g
+    return (jnp.asarray(padded[:, 0]), jnp.asarray(padded[:, 1]),
+            jnp.asarray(padded[:, 2]), jnp.asarray(mask))
+
+
+def _build_phase1_tables(eqz, w_dev, gates, n):
+    """HA1/HVAL tables for a gate list, chunked for relaxed-limb headroom."""
+    h_cnt_acc = None
+    h_val_acc = None
+    g = list(gates)
+    if not g:
+        z = jnp.zeros((n, 16), jnp.uint32)
+        return z, z
+    for s in range(0, len(g), SCATTER_CHUNK):
+        chunk = g[s:s + SCATTER_CHUNK]
+        out_i, l_i, r_i, mask = _gate_arrays(chunk)
+        w = _gather_weights(eqz, out_i, mask)
+        h_cnt, h_val = _scatter_pair(w, w_dev, l_i, r_i, n)
+        h_cnt_acc = h_cnt if h_cnt_acc is None else _add_tables(h_cnt_acc, h_cnt)
+        h_val_acc = h_val if h_val_acc is None else _add_tables(h_val_acc, h_val)
+    return h_cnt_acc, h_val_acc
+
+
+def _build_phase2_table(eqz, eqb, gates, n):
+    acc = None
+    g = list(gates)
+    if not g:
+        return jnp.zeros((n, 16), jnp.uint32)
+    for s in range(0, len(g), SCATTER_CHUNK):
+        chunk = g[s:s + SCATTER_CHUNK]
+        out_i, l_i, r_i, mask = _gate_arrays(chunk)
+        w = _gather_weights(eqz, out_i, mask)
+        f = _scatter_phase2(w, eqb, l_i, r_i, n)
+        acc = f if acc is None else _add_tables(acc, f)
+    return acc
+
+
+# ------------------------------------------------------------- layer prover
+
+def prove_layer_sumcheck_jax(
+    z: list[int],
+    w_next,                       # list[int] values OR pre-packed (n,16) dev
+    add_gates, mult_gates,
+    k_cur: int, k_next: int,
+    w_struct: MleStruct,
+    transcript: Mimc7,
+    w_dev=None,
+):
+    """Drop-in replacement for gkr_tpu.sumcheck.prove_layer_sumcheck running
+    the table math on the JAX device.  Transcript-identical to the host
+    engine (same structural-length + Fiat–Shamir logic)."""
+    k = k_next
+    v = 2 * k
+    assert v >= 2
+    n = 1 << k
+    sup = w_struct.support if not w_struct.empty else [False] * k
+    has_add = len(add_gates) > 0
+    has_mult = len(mult_gates) > 0
+
+    if w_dev is None:
+        w_dev = L.pack(w_next)
+    eqz = L.jeq_table(L.pack(z)) if z else L.jeq_table(
+        jnp.zeros((0, 16), jnp.uint32))
+
+    ha1, ha2 = _build_phase1_tables(eqz, w_dev, add_gates, n)
+    _, hm = _build_phase1_tables(eqz, w_dev, mult_gates, n)
+
+    proof: list[list[int]] = []
+    challenges: list[int] = []
+
+    def emit(y, j):
+        y0, y1, y2 = L.unpack(y)
+        coeffs = shape_coeffs(coeffs_from_evals_deg2(y0, y1, y2),
+                              round_poly_len(j, v, sup, has_add, has_mult))
+        proof.append(coeffs)
+        challenges.append(transcript.multi_hash(coeffs, 0))
+
+    # ---- phase 1 ----
+    S1 = jnp.stack([w_dev, ha1, ha2, hm], axis=1)        # (n, 4, 16)
+    for j in range(1, k + 1):
+        emit(_phase1_eval(S1), j)
+        S1 = _fold(S1, L.pack_scalar(challenges[-1]))
+
+    b_star = challenges[:k]
+    wb = S1[0, 0]                                        # (16,)
+
+    # ---- phase 2 ----
+    eqb = L.jeq_table(L.pack(b_star))
+    fa = _build_phase2_table(eqz, eqb, add_gates, n)
+    fm = _build_phase2_table(eqz, eqb, mult_gates, n)
+    fmwb = _mul_tables(fm, jnp.broadcast_to(wb, fm.shape))
+    S2 = jnp.stack([w_dev, fa, fmwb], axis=1)            # (n, 3, 16)
+    for j in range(k + 1, v + 1):
+        emit(_phase2_eval(S2, wb), j)
+        S2 = _fold(S2, L.pack_scalar(challenges[-1]))
+
+    return proof, challenges

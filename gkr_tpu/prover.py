@@ -9,8 +9,9 @@ Mirrors `rust/src/gkr/prover.rs:6-96` exactly at the protocol level:
     r*_i = MiMC(last round coeffs), z_{i+1} = l(r*_i),
   * proof.depth = circuit depth + 1 (prover.rs:92).
 
-The compute backend is pluggable: the default exact host engine
-(`gkr_tpu.sumcheck`) or the JAX/TPU engine (`gkr_tpu.jaxeng`).
+The compute backend is pluggable: `HostBackend` (exact Python ints — the
+default) or `gkr_tpu.jaxeng.backend.JaxBackend` (TPU device tables).  Both
+produce byte-identical transcripts.
 """
 
 from __future__ import annotations
@@ -23,19 +24,41 @@ from .proof import Proof
 from .sumcheck import prove_layer_sumcheck
 
 
+class HostBackend:
+    """Exact host engine (Python big ints over dense tables)."""
+
+    def mle_struct(self, w_values, layer_idx=None):
+        return mle_struct(w_values)
+
+    def layer_sumcheck(self, z, w_next, add_gates, mult_gates,
+                       k_cur, k_next, w_struct, transcript, layer_idx=None):
+        return prove_layer_sumcheck(z, w_next, add_gates, mult_gates,
+                                    k_cur, k_next, w_struct, transcript)
+
+    def restrict_to_line(self, w_values, b, c, struct, layer_idx=None):
+        return restrict_to_line(w_values, b, c, struct)
+
+    def sparse_from_dense(self, w_values):
+        return sparse_from_dense(w_values)
+
+
 def prove(circuit: GKRCircuit, w_values: list[list[int]],
           transcript: Mimc7 | None = None,
           z0: list[int] | None = None,
-          layer_sumcheck=None) -> Proof:
+          backend=None,
+          materialize_sparse: bool = True) -> Proof:
     """Prove the layered circuit given its value tables.
 
     `w_values` must be the full forward sweep [W_0..W_depth]
     (`circuit.evaluate(input)`); `w_values[0]` is the output vector D.
+    `materialize_sparse=False` skips the (potentially huge) sparse MLE term
+    lists `d`/`input_func` in the returned proof (benchmark mode; the
+    reference always materializes them, convert.rs:840-847).
     """
     if transcript is None:
         transcript = Mimc7()
-    if layer_sumcheck is None:
-        layer_sumcheck = prove_layer_sumcheck
+    if backend is None:
+        backend = HostBackend()
     depth = circuit.depth()
     assert len(w_values) == depth + 1
 
@@ -50,25 +73,30 @@ def prove(circuit: GKRCircuit, w_values: list[list[int]],
         layer = circuit.layers[i]
         k_next = circuit.k(i + 1)
         w_next = w_values[i + 1]
-        struct = mle_struct(w_next)
+        struct = backend.mle_struct(w_next, layer_idx=i + 1)
 
-        proof_i, r_i = layer_sumcheck(
+        proof_i, r_i = backend.layer_sumcheck(
             z[i], w_next, layer.add_gates, layer.mult_gates,
-            layer.k_cur, k_next, struct, transcript)
+            layer.k_cur, k_next, struct, transcript, layer_idx=i + 1)
         sumcheck_proofs.append(proof_i)
         sumcheck_r.append(r_i)
 
         b_star = r_i[:k_next]
         c_star = r_i[k_next:]
-        q_i = restrict_to_line(w_next, b_star, c_star, struct)
+        q_i = backend.restrict_to_line(w_next, b_star, c_star, struct,
+                                       layer_idx=i + 1)
         q.append(q_i)
 
         r_star = transcript.multi_hash(proof_i[-1], 0)
         r_stars.append(r_star)
         z.append(line(b_star, c_star, r_star))
 
-    d_sparse = sparse_from_dense(w_values[0])
-    input_sparse = sparse_from_dense(w_values[depth])
+    if materialize_sparse:
+        d_sparse = backend.sparse_from_dense(w_values[0])
+        input_sparse = backend.sparse_from_dense(w_values[depth])
+    else:
+        d_sparse = []
+        input_sparse = []
 
     return Proof(
         sumcheck_proofs=sumcheck_proofs,

@@ -2,8 +2,15 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh — sharding logic is validated
 # without TPU hardware; the real chip is exercised by bench.py / the driver.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+#
+# NOTE: in the axon environment jax is pre-imported at interpreter startup
+# with the TPU backend forced (jax.config.jax_platforms == "axon,cpu"), so
+# env vars alone are not enough: the config must be updated before first use.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if "cpu" not in jax.config.jax_platforms.split(",")[0]:
+    jax.config.update("jax_platforms", "cpu")
