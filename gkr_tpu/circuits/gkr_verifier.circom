@@ -1,0 +1,162 @@
+pragma circom 2.0.0;
+
+/*
+ * In-circuit GKR verifier gadget for recursive aggregation.
+ *
+ * Functional counterpart of the reference's verifier circuit set
+ * (gkr-verifier-circuits/circom/circom/{verifier,sumcheck/sumcheckVerify,
+ * poly/{univariate,multivariate}}.circom) with the SAME external signal
+ * layout (so aggregated.json produced by gkr_tpu.recursion.serialize wires
+ * up identically), re-designed rather than copied:
+ *
+ *   - sparse-MLE evaluation is fully constrained: term degrees are 0/1
+ *     (multilinear), so x^d == 1 + d*(x-1) is enforced with one aux signal
+ *     per factor — the reference's evalMultivariate leaves the whole
+ *     evaluation unconstrained via `<--` hints (multivariate.circom:10-24);
+ *   - the initial claim is bound to Dtilde(z_0) instead of the hard-coded 0
+ *     (verifier.circom:41-43 declares D but never uses it);
+ *   - like the reference, Fiat-Shamir challenges are NOT recomputed
+ *     in-circuit (they are free inputs); the host verifier performs the
+ *     full transcript check before aggregation.
+ *
+ * meta layout (aggregator.rs:92-141): 0:d 1:largest_k 2:k_0 3:#D-terms
+ * 4:max-round-poly-len 5:max-q-len 6:#inputFunc-terms 7:k_input 8..:k_i
+ */
+
+// Horner evaluation; coeffs[0] is the HIGHEST-degree coefficient.
+template GkrEvalPoly(n) {
+    signal input coeffs[n];
+    signal input x;
+    signal output out;
+
+    signal acc[n];
+    acc[0] <== coeffs[0];
+    for (var i = 1; i < n; i++) {
+        acc[i] <== acc[i - 1] * x + coeffs[i];
+    }
+    out <== acc[n - 1];
+}
+
+// Sparse multilinear term-list evaluation: terms[i] = [coeff, d_1..d_v],
+// every d in {0,1}.  out = sum_i coeff_i * prod_j x_j^(d_ij).
+template GkrEvalSparseMle(nTerms, v) {
+    signal input terms[nTerms][v + 1];
+    signal input x[v];
+    signal output out;
+
+    signal factor[nTerms][v];
+    signal partial[nTerms][v + 1];
+    signal acc[nTerms];
+
+    for (var i = 0; i < nTerms; i++) {
+        partial[i][0] <== terms[i][0];
+        for (var j = 0; j < v; j++) {
+            // x^d for d in {0,1}: 1 + d*(x-1)  (exact, fully constrained)
+            factor[i][j] <== terms[i][j + 1] * (x[j] - 1);
+            partial[i][j + 1] <== partial[i][j] * (1 + factor[i][j]);
+        }
+        if (i == 0) {
+            acc[0] <== partial[0][v];
+        } else {
+            acc[i] <== acc[i - 1] + partial[i][v];
+        }
+    }
+    out <== acc[nTerms - 1];
+}
+
+// One layer's sumcheck: v rounds of g_j(0)+g_j(1) == claim_j,
+// claim_{j+1} = g_j(r_j).
+template GkrSumcheckRounds(v, nTerms) {
+    signal input proofs[v][nTerms];
+    signal input claim;
+    signal input r[v - 1];
+    signal output isValid;
+
+    component at0[v];
+    component at1[v];
+    component atr[v - 1];
+    signal expected[v];
+
+    expected[0] <== claim;
+    for (var j = 0; j < v; j++) {
+        at0[j] = GkrEvalPoly(nTerms);
+        at1[j] = GkrEvalPoly(nTerms);
+        at0[j].x <== 0;
+        at1[j].x <== 1;
+        for (var t = 0; t < nTerms; t++) {
+            at0[j].coeffs[t] <== proofs[j][t];
+            at1[j].coeffs[t] <== proofs[j][t];
+        }
+        at0[j].out + at1[j].out === expected[j];
+        if (j != v - 1) {
+            atr[j] = GkrEvalPoly(nTerms);
+            atr[j].x <== r[j];
+            for (var t = 0; t < nTerms; t++) {
+                atr[j].coeffs[t] <== proofs[j][t];
+            }
+            expected[j + 1] <== atr[j].out;
+        }
+    }
+    isValid <== 1;
+}
+
+template VerifyGKR(meta) {
+    var d = meta[0];
+    var largest_k = meta[1];
+
+    signal input sumcheckProof[d - 1][2 * largest_k][meta[4]];
+    signal input sumcheckr[d - 1][2 * largest_k];
+    signal input q[d - 1][meta[5]];
+    signal input D[meta[3]][meta[2] + 1];
+    signal input z[d][largest_k];
+    signal input r[d - 1];
+    signal input inputFunc[meta[6]][meta[7] + 1];
+
+    component rounds[d - 1];
+    component qAtR[d - 1];
+    component dAtZ0 = GkrEvalSparseMle(meta[3], meta[2]);
+    component inputAtZ = GkrEvalSparseMle(meta[6], meta[7]);
+
+    // initial claim: Dtilde(z_0)  (strengthens the reference's claim <== 0)
+    for (var i = 0; i < meta[3]; i++) {
+        for (var j = 0; j < meta[2] + 1; j++) {
+            dAtZ0.terms[i][j] <== D[i][j];
+        }
+    }
+    for (var j = 0; j < meta[2]; j++) {
+        dAtZ0.x[j] <== z[0][j];
+    }
+
+    for (var i = 0; i < d - 1; i++) {
+        rounds[i] = GkrSumcheckRounds(2 * meta[i + 9], meta[4]);
+        if (i == 0) {
+            rounds[i].claim <== dAtZ0.out;
+        } else {
+            rounds[i].claim <== qAtR[i - 1].out;
+        }
+        for (var j = 0; j < 2 * meta[i + 9] - 1; j++) {
+            rounds[i].r[j] <== sumcheckr[i][j];
+        }
+        for (var j = 0; j < 2 * meta[i + 9]; j++) {
+            for (var t = 0; t < meta[4]; t++) {
+                rounds[i].proofs[j][t] <== sumcheckProof[i][j][t];
+            }
+        }
+
+        qAtR[i] = GkrEvalPoly(meta[5]);
+        for (var j = 0; j < meta[5]; j++) {
+            qAtR[i].coeffs[j] <== q[i][j];
+        }
+        qAtR[i].x <== r[i];
+    }
+
+    for (var i = 0; i < meta[6]; i++) {
+        for (var j = 0; j < meta[7] + 1; j++) {
+            inputAtZ.terms[i][j] <== inputFunc[i][j];
+        }
+    }
+    for (var j = 0; j < meta[7]; j++) {
+        inputAtZ.x[j] <== z[d - 1][j];
+    }
+    qAtR[d - 2].out === inputAtZ.out;
+}

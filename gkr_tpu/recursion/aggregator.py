@@ -1,0 +1,102 @@
+"""Recursive aggregation round loop — circom-toolchain path.
+
+Mirrors rust/src/aggregator.rs `prove_all` (:385-435):
+  round 0:    compile+witness the user circuit with input_0, convert to GKR
+              subcircuits, prove all of them;
+  rounds 1..n-2: `prove_recursively_circom` (:316-363) — pad+serialize the
+              previous proofs into aggregated.json, splice VerifyGKR
+              instantiations into the user's .circom (aggregated.circom),
+              recompile via circom, re-witness via node, convert, prove;
+  round n-1:  `prove_groth` (:372-383) — templating + circom compile only;
+              the groth16 proof itself is produced by `mock-groth`.
+
+Per-round artifacts keep the reference's file conventions: aggregated.json,
+aggregated.circom, witness.wtns, <input>_output.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ..frontend import R1csFile, WtnsFile, compile_r1cs_to_gkr, parse_sym
+from ..prover import prove
+from ..verifier import verify as verify_proof
+from .circom_driver import execute_circom
+from .serialize import (CircomInputProof, get_meta, modify_proof_for_circom,
+                        write_aggregated_input)
+from .templating import modify_circom_file
+
+
+def _convert_and_prove(name: str, root_path: str, input_name: str,
+                       workdir: str, backend=None, check_verify: bool = False):
+    r1cs = R1csFile.read(os.path.join(workdir, root_path, f"{name}.r1cs"))
+    wtns = WtnsFile.read(os.path.join(workdir, "witness.wtns"))
+    n_public = r1cs.header.n_pub_out + r1cs.header.n_pub_in
+    sym_names = parse_sym(os.path.join(workdir, root_path, f"{name}.sym"),
+                          n_public)
+    circuits, w_values_list, public = compile_r1cs_to_gkr(r1cs, wtns,
+                                                          sym_names)
+    print("Proving starts..")
+    t0 = time.time()
+    proofs = []
+    for circuit, w in zip(circuits, w_values_list):
+        proof = prove(circuit, w, backend=backend)
+        if check_verify:
+            assert verify_proof(proof, circuit), "self-verification failed"
+        proofs.append(proof)
+    print(f"Proving took {time.time() - t0:.3f} seconds")
+
+    out_path = os.path.join(workdir, root_path, f"{input_name}_output.json")
+    with open(out_path, "w") as f:
+        json.dump({nm: str(v) for nm, v in public.values()}, f)
+    return proofs
+
+
+def prove_recursively_circom(circuit_path: str, previous_proofs, input_path: str,
+                             workdir: str = ".", backend=None):
+    metas = get_meta(previous_proofs)
+    padded = modify_proof_for_circom(previous_proofs, metas)
+    cips = [CircomInputProof(p) for p in padded]
+
+    input_name = os.path.splitext(os.path.basename(input_path))[0]
+    agg_input = write_aggregated_input(
+        input_path, cips, os.path.join(workdir, "aggregated.json"))
+    agg_circuit = modify_circom_file(
+        circuit_path, metas, os.path.join(workdir, "aggregated.circom"))
+    print(f"{agg_circuit} generated")
+
+    name, root_path = execute_circom(agg_circuit, agg_input, workdir)
+    return _convert_and_prove(name, root_path, input_name, workdir, backend)
+
+
+def prove_groth(circuit_path: str, previous_proofs, input_path: str,
+                workdir: str = "."):
+    metas = get_meta(previous_proofs)
+    padded = modify_proof_for_circom(previous_proofs, metas)
+    cips = [CircomInputProof(p) for p in padded]
+    agg_input = write_aggregated_input(
+        input_path, cips, os.path.join(workdir, "aggregated.json"))
+    agg_circuit = modify_circom_file(
+        circuit_path, metas, os.path.join(workdir, "aggregated.circom"))
+    execute_circom(agg_circuit, agg_input, workdir)
+    print("Proving by groth16 can be done")
+
+
+def prove_all(circuit_path: str, input_paths: list[str],
+              workdir: str = ".", backend=None):
+    """The reference CLI's `prove` flow (aggregator.rs:385-435)."""
+    proofs = None
+    for i, input_path in enumerate(input_paths):
+        if i == 0:
+            name, root_path = execute_circom(circuit_path, input_path, workdir)
+            input_name = os.path.splitext(os.path.basename(input_path))[0]
+            proofs = _convert_and_prove(name, root_path, input_name,
+                                        workdir, backend)
+        elif i == len(input_paths) - 1:
+            prove_groth(circuit_path, proofs, input_path, workdir)
+        else:
+            proofs = prove_recursively_circom(circuit_path, proofs,
+                                              input_path, workdir, backend)
+    return proofs

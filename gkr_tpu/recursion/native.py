@@ -1,0 +1,266 @@
+"""Native recursion: in-framework GKR-verifier circuit construction.
+
+The reference's recursion detours through an external toolchain every round
+(tera-templating a .circom file, shelling out to the circom compiler and a
+node/wasm witness generator — aggregator.rs:316-363, file_utils.rs:76-114).
+On a TPU pod that toolchain is a host-side serial bottleneck and often
+simply absent.
+
+This module removes it: circuits are described as R1CS constraints via
+`ConstraintBuilder` (values computed alongside, so witness generation is
+free), the GKR-verifier gadget `verify_gkr_gadget` mirrors the in-circuit
+verifier (gkr_tpu/circuits/gkr_verifier.circom — itself a strengthened
+re-design of the reference's verifier.circom), and each aggregation round
+feeds the combined constraint system straight into the standard frontend
+pipeline (constraints -> trees -> layers -> GKR prove).  The final round
+exports aggregated.r1cs + witness.wtns so ONLY snarkjs is needed for the
+groth16 hand-off — circom and node are never invoked.
+
+A MiMC7 gadget is included so the reference's example circuit
+(rust/t.circom: out <== MiMC7(91)(in1, 0)) can be expressed natively.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..field import P
+from ..mimc import mimc7_constants
+from ..proof import Proof
+from .serialize import get_meta, modify_proof_for_circom
+
+
+# ---------------------------------------------------------------------- LCs
+
+class LC:
+    """Linear combination {wire: coeff} + implicit constant via wire 0."""
+
+    __slots__ = ("terms",)
+
+    def __init__(self, terms: dict[int, int] | None = None):
+        self.terms = dict(terms or {})
+
+    @classmethod
+    def const(cls, c: int) -> "LC":
+        return cls({0: c % P} if c % P else {})
+
+    @classmethod
+    def var(cls, w: int, coeff: int = 1) -> "LC":
+        return cls({w: coeff % P})
+
+    def __add__(self, other):
+        if isinstance(other, int):
+            other = LC.const(other)
+        t = dict(self.terms)
+        for w, c in other.terms.items():
+            t[w] = (t.get(w, 0) + c) % P
+        return LC({w: c for w, c in t.items() if c})
+
+    def __sub__(self, other):
+        if isinstance(other, int):
+            other = LC.const(other)
+        return self + other.scale(P - 1)
+
+    def scale(self, k: int) -> "LC":
+        k %= P
+        return LC({w: c * k % P for w, c in self.terms.items() if c * k % P})
+
+    def is_zero(self) -> bool:
+        return not self.terms
+
+    def as_list(self) -> list[tuple[int, int]]:
+        return [(c, w) for w, c in sorted(self.terms.items())]
+
+
+@dataclass
+class ConstraintBuilder:
+    """R1CS builder with inline witness computation (wire 0 == 1)."""
+
+    witness: list[int] = field(default_factory=lambda: [1])
+    constraints: list = field(default_factory=list)
+    n_public: int = 0
+
+    def alloc(self, value: int) -> int:
+        self.witness.append(value % P)
+        return len(self.witness) - 1
+
+    def value(self, lc: LC) -> int:
+        return sum(c * self.witness[w] for w, c in lc.terms.items()) % P
+
+    def mul(self, a: LC, b: LC) -> LC:
+        """New wire w with constraint a * b = w."""
+        w = self.alloc(self.value(a) * self.value(b))
+        self.constraints.append((a.as_list(), b.as_list(),
+                                 LC.var(w).as_list()))
+        return LC.var(w)
+
+    def assert_zero(self, lc: LC) -> None:
+        assert self.value(lc) == 0, "unsatisfied constraint at build time"
+        self.constraints.append(([], [], lc.as_list()))
+
+    def assert_eq(self, a: LC, b: LC) -> None:
+        self.assert_zero(a - b)
+
+    def assert_mul(self, a: LC, b: LC, c: LC) -> None:
+        assert self.value(a) * self.value(b) % P == self.value(c)
+        self.constraints.append((a.as_list(), b.as_list(), c.as_list()))
+
+
+# ------------------------------------------------------------------ gadgets
+
+def eval_poly_gadget(b: ConstraintBuilder, coeffs: list[LC], x: LC) -> LC:
+    """Horner evaluation, coeffs[0] = highest degree; len-1 constraints."""
+    acc = coeffs[0]
+    for c in coeffs[1:]:
+        acc = b.mul(acc, x) + c
+    return acc
+
+
+def eval_sparse_mle_gadget(b: ConstraintBuilder, terms: list[list[LC]],
+                           x: list[LC]) -> LC:
+    """Sparse multilinear term-list evaluation; degrees are 0/1 wires, fully
+    constrained via x^d == 1 + d*(x-1)."""
+    total = LC.const(0)
+    for row in terms:
+        partial = row[0]
+        for j, d in enumerate(row[1:]):
+            factor = b.mul(d, x[j] - 1)
+            partial = b.mul(partial, factor + 1)
+        total = total + partial
+    return total
+
+
+def mimc7_gadget(b: ConstraintBuilder, x: LC, k: LC,
+                 n_rounds: int = 91) -> LC:
+    """circomlib-compatible MiMC7: h = t^7 chain, out = h + k."""
+    cts = mimc7_constants(n_rounds)
+    h = LC.const(0)
+    for i in range(n_rounds):
+        t = (x + k) if i == 0 else (h + k + LC.const(cts[i]))
+        t2 = b.mul(t, t)
+        t4 = b.mul(t2, t2)
+        t6 = b.mul(t4, t2)
+        h = b.mul(t6, t)
+    return h + k
+
+
+def mimc7_multi_gadget(b: ConstraintBuilder, xs: list[LC],
+                       key: LC | None = None) -> LC:
+    """Miyaguchi–Preneel multi_hash (matches Mimc7.multi_hash)."""
+    r = key if key is not None else LC.const(0)
+    for x in xs:
+        r = r + x + mimc7_gadget(b, x, r)
+    return r
+
+
+def _wire_values(b: ConstraintBuilder, values: list[int]) -> list[LC]:
+    return [LC.var(b.alloc(v)) for v in values]
+
+
+def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
+                      meta: list[int]) -> dict:
+    """Constraint-level mirror of VerifyGKR (circuits/gkr_verifier.circom):
+    sumcheck round sums + claim chaining, Dtilde(z_0) initial-claim binding,
+    final inputFunc~(z_{d-1}) equality.  The (padded) proof values enter as
+    private witness wires; returns the wire map for callers that want to
+    expose parts publicly."""
+    d = meta[0]
+    largest_k = meta[1]
+    max_terms = meta[4]
+
+    wires = {
+        "sumcheckProof": [[_wire_values(b, rnd) for rnd in layer]
+                          for layer in proof.sumcheck_proofs],
+        "sumcheckr": [_wire_values(b, layer) for layer in proof.sumcheck_r],
+        "q": [_wire_values(b, qq) for qq in proof.q],
+        "D": [_wire_values(b, t) for t in proof.d],
+        "z": [_wire_values(b, zz) for zz in proof.z],
+        "r": _wire_values(b, proof.r),
+        "inputFunc": [_wire_values(b, t) for t in proof.input_func],
+    }
+
+    # initial claim: Dtilde(z_0)
+    claim = eval_sparse_mle_gadget(b, wires["D"], wires["z"][0][:meta[2]])
+
+    for i in range(d - 1):
+        v = 2 * meta[9 + i]
+        rounds = wires["sumcheckProof"][i][:v]
+        rs = wires["sumcheckr"][i]
+        expected = claim
+        for j in range(v):
+            coeffs = rounds[j]
+            at0 = coeffs[-1]
+            at1 = coeffs[0]
+            for c in coeffs[1:]:
+                at1 = at1 + c
+            b.assert_eq(at0 + at1, expected)
+            if j != v - 1:
+                expected = eval_poly_gadget(b, coeffs, rs[j])
+        # claim for the next layer: q_i(r_i)
+        claim = eval_poly_gadget(b, wires["q"][i], wires["r"][i])
+
+    final = eval_sparse_mle_gadget(b, wires["inputFunc"],
+                                   wires["z"][d - 1][:meta[7]])
+    b.assert_eq(claim, final)
+    return wires
+
+
+# ------------------------------------------------------- native aggregation
+
+def builder_to_r1cs(b: ConstraintBuilder):
+    """In-memory R1csFile/WtnsFile objects for the frontend pipeline."""
+    from ..frontend.r1cs import R1csFile, R1csHeader
+    from ..frontend.wtns import WtnsFile
+    header = R1csHeader(
+        field_size=32, prime=P, n_wires=len(b.witness),
+        n_pub_out=b.n_public, n_pub_in=0,
+        n_prv_in=len(b.witness) - 1 - b.n_public,
+        n_labels=len(b.witness), n_constraints=len(b.constraints))
+    return (R1csFile(header, list(b.constraints)),
+            WtnsFile(P, list(b.witness)))
+
+
+def prove_round_native(user_fn, user_input: dict,
+                       previous_proofs: list[Proof] | None,
+                       backend=None):
+    """One aggregation round: user constraints + verifier gadgets for every
+    previous proof, then GKR-prove the combined system."""
+    from ..frontend.compiler import compile_r1cs_to_gkr
+    from ..prover import prove
+
+    b = ConstraintBuilder()
+    user_fn(b, user_input)
+    if previous_proofs:
+        metas = get_meta(previous_proofs)
+        padded = modify_proof_for_circom(previous_proofs, metas)
+        for proof, meta in zip(padded, metas):
+            verify_gkr_gadget(b, proof, meta)
+
+    r1cs, wtns = builder_to_r1cs(b)
+    circuits, w_values_list, _ = compile_r1cs_to_gkr(r1cs, wtns, check=True)
+    proofs = [prove(c, w, backend=backend)
+              for c, w in zip(circuits, w_values_list)]
+    return proofs, b
+
+
+def prove_all_native(user_fn, inputs: list[dict], backend=None,
+                     export_final: str | None = None):
+    """Full aggregation: round 0 direct, middle rounds with verifier
+    gadgets, final round exported as aggregated.r1cs/witness.wtns for the
+    snarkjs groth16 hand-off (no circom/node anywhere)."""
+    proofs = None
+    final_builder = None
+    for i, user_input in enumerate(inputs):
+        prev = proofs if i > 0 else None
+        proofs, final_builder = prove_round_native(user_fn, user_input, prev,
+                                                   backend=backend)
+    if export_final and final_builder is not None:
+        from ..frontend.r1cs import R1csFile
+        from ..frontend.wtns import WtnsFile
+        R1csFile.write(f"{export_final}.r1cs", P,
+                       n_wires=len(final_builder.witness),
+                       n_pub_out=final_builder.n_public, n_pub_in=0,
+                       n_prv_in=len(final_builder.witness) - 1,
+                       constraints=final_builder.constraints)
+        WtnsFile.write(f"{export_final}.wtns", P, final_builder.witness)
+    return proofs

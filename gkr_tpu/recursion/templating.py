@@ -1,0 +1,103 @@
+"""aggregated.circom generation — the tera-template equivalent of
+rust/src/aggregator.rs:215-314 `modify_circom_file`.
+
+The generated block declares per-instance proof input signals, instantiates
+`VerifyGKR(meta_i)` from this package's verifier circuit
+(gkr_tpu/circuits/gkr_verifier.circom), and wires every signal, then is
+spliced into the user's circuit: the include goes after the `pragma` line
+and the block before the final closing brace of the main template, exactly
+like the reference."""
+
+from __future__ import annotations
+
+import os
+
+VERIFIER_CIRCUIT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "circuits", "gkr_verifier.circom")
+
+_BLOCK = """
+    var d{i} = {meta0};
+    var largest_k{i} = {meta1};
+    signal input sumcheckProof{i}[d{i} - 1][2 * largest_k{i}][{meta4}];
+    signal input sumcheckr{i}[d{i} - 1][2 * largest_k{i}];
+    signal input q{i}[d{i} - 1][{meta5}];
+    signal input D{i}[{meta3}][{meta2} + 1];
+    signal input z{i}[d{i}][largest_k{i}];
+    signal input r{i}[d{i} - 1];
+    signal input inputFunc{i}[{meta6}][{meta7} + 1];
+    verifier[{i}] = VerifyGKR({meta});
+    for (var a = 0; a < d{i} - 1; a++) {{
+        for (var b = 0; b < 2 * {meta1}; b++) {{
+            for (var c = 0; c < {meta4}; c++) {{
+                verifier[{i}].sumcheckProof[a][b][c] <== sumcheckProof{i}[a][b][c];
+            }}
+        }}
+    }}
+    for (var a = 0; a < d{i} - 1; a++) {{
+        for (var b = 0; b < 2 * {meta1}; b++) {{
+            verifier[{i}].sumcheckr[a][b] <== sumcheckr{i}[a][b];
+        }}
+    }}
+    for (var a = 0; a < d{i} - 1; a++) {{
+        for (var b = 0; b < {meta5}; b++) {{
+            verifier[{i}].q[a][b] <== q{i}[a][b];
+        }}
+    }}
+    for (var a = 0; a < {meta3}; a++) {{
+        for (var b = 0; b < {meta2} + 1; b++) {{
+            verifier[{i}].D[a][b] <== D{i}[a][b];
+        }}
+    }}
+    for (var a = 0; a < d{i}; a++) {{
+        for (var b = 0; b < {meta1}; b++) {{
+            verifier[{i}].z[a][b] <== z{i}[a][b];
+        }}
+    }}
+    for (var a = 0; a < d{i} - 1; a++) {{
+        verifier[{i}].r[a] <== r{i}[a];
+    }}
+    for (var a = 0; a < {meta6}; a++) {{
+        for (var b = 0; b < {meta7} + 1; b++) {{
+            verifier[{i}].inputFunc[a][b] <== inputFunc{i}[a][b];
+        }}
+    }}
+"""
+
+
+def render_verifier_block(metas: list[list[int]]) -> str:
+    parts = [f"\n    component verifier[{len(metas)}];\n"]
+    for i, meta in enumerate(metas):
+        parts.append(_BLOCK.format(
+            i=i,
+            meta="[" + ", ".join(str(m) for m in meta) + "]",
+            meta0=meta[0], meta1=meta[1], meta2=meta[2], meta3=meta[3],
+            meta4=meta[4], meta5=meta[5], meta6=meta[6], meta7=meta[7]))
+    return "".join(parts)
+
+
+def modify_circom_file(path: str, metas: list[list[int]],
+                       out_path: str = "aggregated.circom",
+                       verifier_include: str | None = None) -> str:
+    """Splice the verifier block into the user's circom source
+    (aggregator.rs:292-314 line-level semantics: include after the pragma,
+    block before the first bare closing brace)."""
+    include = verifier_include or VERIFIER_CIRCUIT
+    with open(path) as f:
+        content = f.read()
+
+    block = render_verifier_block(metas)
+    out_lines = []
+    added = False
+    for line in content.splitlines():
+        if line.startswith("pragma circom"):
+            out_lines.append(line)
+            out_lines.append(f'include "{include}";')
+        elif line.strip() == "}" and not added:
+            out_lines.append(block)
+            out_lines.append("}")
+            added = True
+        else:
+            out_lines.append(line)
+    with open(out_path, "w") as f:
+        f.write("\n".join(out_lines) + "\n")
+    return out_path

@@ -1,0 +1,152 @@
+"""Recursion-layer tests: serialization padding, templating, the native
+constraint builder + GKR-verifier gadget, and multi-round native
+aggregation (the circom-free recursion path)."""
+
+import json
+import os
+import random
+
+from gkr_tpu import Mimc7, prove, verify
+from gkr_tpu.field import P
+from gkr_tpu.recursion.native import (LC, ConstraintBuilder,
+                                      builder_to_r1cs, eval_poly_gadget,
+                                      mimc7_gadget, mimc7_multi_gadget,
+                                      prove_all_native, prove_round_native,
+                                      verify_gkr_gadget)
+from gkr_tpu.recursion.serialize import (CircomInputProof, get_meta,
+                                         modify_proof_for_circom,
+                                         write_aggregated_input)
+from gkr_tpu.recursion.templating import modify_circom_file
+
+from test_gkr_e2e import reference_toy_circuit
+
+
+def make_toy_proof():
+    circuit, inputs = reference_toy_circuit()
+    w = circuit.evaluate(inputs)
+    return prove(circuit, w), circuit
+
+
+def test_meta_and_padding():
+    proof, _ = make_toy_proof()
+    metas = get_meta([proof])
+    meta = metas[0]
+    assert meta[0] == proof.depth == 3
+    assert meta[1] == max(proof.k) == 2
+    assert meta[8:] == proof.k
+    padded = modify_proof_for_circom([proof], metas)[0]
+    for layer in padded.sumcheck_proofs:
+        assert len(layer) == 2 * meta[1]
+        for rnd in layer:
+            assert len(rnd) == meta[4]
+    for layer in padded.sumcheck_r:
+        assert len(layer) == 2 * meta[1]
+    for qq in padded.q:
+        assert len(qq) == meta[5]
+    for zz in padded.z:
+        assert len(zz) == meta[1]
+    # leading-zero padding preserves polynomial values
+    from gkr_tpu.field import eval_univariate
+    x = 12345
+    for orig, pad in zip(proof.q, padded.q):
+        assert eval_univariate(orig, x) == eval_univariate(pad, x)
+
+
+def test_write_aggregated_input_and_template(tmp_path):
+    proof, _ = make_toy_proof()
+    metas = get_meta([proof])
+    padded = modify_proof_for_circom([proof], metas)
+    input_path = os.path.join(tmp_path, "input.json")
+    with open(input_path, "w") as f:
+        json.dump({"in1": "2", "in2": "3"}, f)
+    out = write_aggregated_input(input_path, [CircomInputProof(padded[0])],
+                                 os.path.join(tmp_path, "aggregated.json"))
+    data = json.load(open(out))
+    assert "sumcheckProof0" in data and "inputFunc0" in data
+    assert data["in1"] == "2"
+
+    circ_path = os.path.join(tmp_path, "t.circom")
+    with open(circ_path, "w") as f:
+        f.write("pragma circom 2.0.0;\n\ntemplate A(){\n"
+                "    signal input in1;\n    signal output out;\n"
+                "    out <== in1;\n}\n\ncomponent main = A();\n")
+    agg = modify_circom_file(circ_path, metas,
+                             os.path.join(tmp_path, "aggregated.circom"))
+    text = open(agg).read()
+    assert 'include "' in text
+    assert "VerifyGKR([3, 2," in text
+    assert "component verifier[1];" in text
+    # block must be inside the template (before its closing brace)
+    assert text.index("component verifier[1];") < text.index("component main")
+
+
+def test_constraint_builder_basics():
+    b = ConstraintBuilder()
+    x = LC.var(b.alloc(7))
+    y = b.mul(x, x)          # 49
+    assert b.value(y) == 49
+    b.assert_eq(y, LC.const(49))
+    acc = eval_poly_gadget(b, [LC.const(3), LC.const(2), LC.const(1)], x)
+    assert b.value(acc) == (3 * 49 + 2 * 7 + 1)
+    r1cs, wtns = builder_to_r1cs(b)
+    from gkr_tpu.frontend.compiler import compile_r1cs_to_gkr
+    circuits, w_values, _ = compile_r1cs_to_gkr(r1cs, wtns)
+    for c, w in zip(circuits, w_values):
+        assert verify(prove(c, w), c, raise_on_fail=True)
+
+
+def test_mimc_gadget_matches_host():
+    b = ConstraintBuilder()
+    x = LC.var(b.alloc(3))
+    k = LC.var(b.alloc(5))
+    out = mimc7_gadget(b, x, k)
+    assert b.value(out) == Mimc7().hash(3, 5)
+    multi = mimc7_multi_gadget(b, [x, k])
+    assert b.value(multi) == Mimc7().multi_hash([3, 5], 0)
+
+
+def test_verify_gkr_gadget_accepts_valid_proof():
+    proof, _ = make_toy_proof()
+    metas = get_meta([proof])
+    padded = modify_proof_for_circom([proof], metas)
+    b = ConstraintBuilder()
+    verify_gkr_gadget(b, padded[0], metas[0])
+    assert len(b.constraints) > 0
+    # the whole constraint system must itself be provable
+    r1cs, wtns = builder_to_r1cs(b)
+    from gkr_tpu.frontend.compiler import compile_r1cs_to_gkr
+    circuits, w_values, _ = compile_r1cs_to_gkr(r1cs, wtns)
+    for c, w in zip(circuits, w_values):
+        assert verify(prove(c, w), c, raise_on_fail=True)
+
+
+def test_verify_gkr_gadget_rejects_tampered_proof():
+    import copy
+    import pytest
+    proof, _ = make_toy_proof()
+    metas = get_meta([proof])
+    padded = modify_proof_for_circom([proof], metas)[0]
+    bad = copy.deepcopy(padded)
+    bad.q[0][-1] = (bad.q[0][-1] + 1) % P
+    b = ConstraintBuilder()
+    with pytest.raises(AssertionError):
+        verify_gkr_gadget(b, bad, metas[0])
+
+
+def test_native_aggregation_three_rounds(tmp_path):
+    """The reference's 3-input aggregation flow (aggregator.rs test_proving)
+    with the external toolchain replaced by the native path."""
+    from gkr_tpu.examples import square_chain_example
+    inputs = [{"in1": 3}, {"in1": 5}, {"in1": 7}]
+    export = os.path.join(tmp_path, "aggregated")
+    proofs = prove_all_native(square_chain_example, inputs,
+                              export_final=export)
+    assert proofs and all(p.depth >= 2 for p in proofs)
+    assert os.path.exists(export + ".r1cs")
+    assert os.path.exists(export + ".wtns")
+    # exported artifacts parse back and the constraint system is satisfied
+    from gkr_tpu.frontend import R1csFile, WtnsFile, compile_r1cs_to_gkr
+    r1cs = R1csFile.read(export + ".r1cs")
+    wtns = WtnsFile.read(export + ".wtns")
+    circuits, w_values, _ = compile_r1cs_to_gkr(r1cs, wtns)
+    assert circuits
