@@ -9,12 +9,11 @@ import jax
 # shape; cache them across processes/runs.
 _cache_dir = os.environ.get("GKR_TPU_JAX_CACHE",
                             os.path.expanduser("~/.cache/gkr_tpu_jax"))
-_platforms = str(getattr(jax.config, "jax_platforms", "") or "")
-if not _platforms.startswith("cpu"):
-    # On CPU the AOT cache reload spams machine-feature warnings; the cache
-    # pays off on the TPU path where per-shape sumcheck programs are reused.
-    try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # pragma: no cover - older jax without these options
-        pass
+# The CPU AOT cache reload logs noisy (harmless) machine-feature mismatch
+# errors about the prefer-no-scatter/gather tuning hints; silence them.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax without these options
+    pass

@@ -68,8 +68,10 @@ def _struct_from_bitmap(nz: np.ndarray, k: int) -> MleStruct:
 class JaxBackend:
     """Device compute backend.  Caches packed tables per layer index."""
 
-    def __init__(self, host_threshold: int = 10):
+    def __init__(self, host_threshold: int = 10, tail_threshold: int | None = None):
+        from .sumcheck import DEVICE_TAIL
         self.host_threshold = host_threshold
+        self.tail_threshold = DEVICE_TAIL if tail_threshold is None else tail_threshold
         self._packed: dict[int, jnp.ndarray] = {}
 
     # -- helpers ----------------------------------------------------------
@@ -103,7 +105,8 @@ class JaxBackend:
         w_dev = self.packed(layer_idx, w_next) if layer_idx is not None else None
         return prove_layer_sumcheck_jax(z, w_next, add_gates, mult_gates,
                                         k_cur, k_next, w_struct, transcript,
-                                        w_dev=w_dev)
+                                        w_dev=w_dev,
+                                        tail_threshold=self.tail_threshold)
 
     def restrict_to_line(self, w_values, b, c, struct,
                          layer_idx: int | None = None):

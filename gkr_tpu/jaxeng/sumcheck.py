@@ -32,8 +32,15 @@ import jax.numpy as jnp
 from ..field import P
 from ..mimc import Mimc7
 from ..mle import MleStruct
-from ..sumcheck import coeffs_from_evals_deg2, round_poly_len, shape_coeffs
+from ..sumcheck import (coeffs_from_evals_deg2, make_emitter,
+                        phase1_host_rounds, phase2_host_rounds,
+                        round_poly_len, shape_coeffs)
 from . import limbs as L
+
+# Below this table size the remaining rounds run on the exact host engine:
+# dispatch latency and per-shape compile cost dominate tiny tables, and the
+# tail costs O(threshold) host multiplications total.
+DEVICE_TAIL = 1 << 12
 
 SCATTER_CHUNK = 1 << 15
 
@@ -153,6 +160,12 @@ def _build_phase2_table(eqz, eqb, gates, n):
 
 # ------------------------------------------------------------- layer prover
 
+def _unstack_to_host(S):
+    """(n, t, 16) device stack -> list of t host int tables."""
+    arr = np.asarray(jax.device_get(S))
+    return [L.unpack(jnp.asarray(arr[:, ti, :])) for ti in range(arr.shape[1])]
+
+
 def prove_layer_sumcheck_jax(
     z: list[int],
     w_next,                       # list[int] values OR pre-packed (n,16) dev
@@ -161,10 +174,16 @@ def prove_layer_sumcheck_jax(
     w_struct: MleStruct,
     transcript: Mimc7,
     w_dev=None,
+    tail_threshold: int = DEVICE_TAIL,
 ):
     """Drop-in replacement for gkr_tpu.sumcheck.prove_layer_sumcheck running
     the table math on the JAX device.  Transcript-identical to the host
-    engine (same structural-length + Fiat–Shamir logic)."""
+    engine (same structural-length + Fiat–Shamir logic).
+
+    Rounds run on device while the tables are larger than `tail_threshold`;
+    the residual small-table rounds finish on the exact host engine — this
+    caps the number of per-shape compiled programs per layer while leaving
+    only O(threshold) scalar work on the host."""
     k = k_next
     v = 2 * k
     assert v >= 2
@@ -183,22 +202,31 @@ def prove_layer_sumcheck_jax(
 
     proof: list[list[int]] = []
     challenges: list[int] = []
+    emit_host = make_emitter(proof, challenges, v, sup, has_add, has_mult,
+                             transcript)
 
-    def emit(y, j):
+    def emit_dev(y, j):
         y0, y1, y2 = L.unpack(y)
-        coeffs = shape_coeffs(coeffs_from_evals_deg2(y0, y1, y2),
-                              round_poly_len(j, v, sup, has_add, has_mult))
-        proof.append(coeffs)
-        challenges.append(transcript.multi_hash(coeffs, 0))
+        emit_host(y0, y1, y2, j)
 
     # ---- phase 1 ----
     S1 = jnp.stack([w_dev, ha1, ha2, hm], axis=1)        # (n, 4, 16)
-    for j in range(1, k + 1):
-        emit(_phase1_eval(S1), j)
+    j = 1
+    while j <= k and S1.shape[0] > tail_threshold:
+        emit_dev(_phase1_eval(S1), j)
         S1 = _fold(S1, L.pack_scalar(challenges[-1]))
+        j += 1
+    if j <= k:
+        W, HA1, HA2, HM = _unstack_to_host(S1)
+        W, *_ = phase1_host_rounds(W, HA1, HA2, HM, j, k, emit_host,
+                                   challenges)
+        wb_int = W[0]
+        wb = L.pack_scalar(wb_int)
+    else:
+        wb = S1[0, 0]                                    # (16,)
+        wb_int = L.unpack_scalar(wb)
 
     b_star = challenges[:k]
-    wb = S1[0, 0]                                        # (16,)
 
     # ---- phase 2 ----
     eqb = L.jeq_table(L.pack(b_star))
@@ -206,8 +234,13 @@ def prove_layer_sumcheck_jax(
     fm = _build_phase2_table(eqz, eqb, mult_gates, n)
     fmwb = _mul_tables(fm, jnp.broadcast_to(wb, fm.shape))
     S2 = jnp.stack([w_dev, fa, fmwb], axis=1)            # (n, 3, 16)
-    for j in range(k + 1, v + 1):
-        emit(_phase2_eval(S2, wb), j)
+    j = k + 1
+    while j <= v and S2.shape[0] > tail_threshold:
+        emit_dev(_phase2_eval(S2, wb), j)
         S2 = _fold(S2, L.pack_scalar(challenges[-1]))
+        j += 1
+    if j <= v:
+        Wc, FA, FMwb = _unstack_to_host(S2)
+        phase2_host_rounds(Wc, FA, FMwb, wb_int, j, v, emit_host, challenges)
 
     return proof, challenges

@@ -91,6 +91,91 @@ def shape_coeffs(full: list[int], length: int) -> list[int]:
     return full[drop:]
 
 
+def phase1_host_rounds(W, HA1, HA2, HM, j_start, j_end, emit, challenges):
+    """Host phase-1 rounds j_start..j_end (inclusive) over int tables.
+    Shared by the host engine and the device engines' small-table tails."""
+    for j in range(j_start, j_end + 1):
+        half = len(W) // 2
+        y = []
+        for t in (0, 1, 2):
+            total = 0
+            for s in range(half):
+                wt = W[s] + t * (W[s + half] - W[s])
+                at = HA1[s] + t * (HA1[s + half] - HA1[s])
+                ht = HA2[s] + t * (HA2[s + half] - HA2[s])
+                mt = HM[s] + t * (HM[s + half] - HM[s])
+                total = (total + (at + mt) * wt + ht) % P
+            y.append(total)
+        emit(y[0], y[1], y[2], j)
+        r = challenges[-1]
+        W = fold_msb(W, r)
+        HA1 = fold_msb(HA1, r)
+        HA2 = fold_msb(HA2, r)
+        HM = fold_msb(HM, r)
+    return W, HA1, HA2, HM
+
+
+def phase2_host_rounds(Wc, FA, FMwb, wb, j_start, j_end, emit, challenges):
+    """Host phase-2 rounds over int tables; FMwb carries the wb factor
+    (FMwb[c] = mult-scatter[c] * W~(b*)), so the summand is
+    FA*(wb + W) + FMwb*W."""
+    for j in range(j_start, j_end + 1):
+        half = len(Wc) // 2
+        y = []
+        for t in (0, 1, 2):
+            total = 0
+            for s in range(half):
+                wt = Wc[s] + t * (Wc[s + half] - Wc[s])
+                fat = FA[s] + t * (FA[s + half] - FA[s])
+                fmt = FMwb[s] + t * (FMwb[s + half] - FMwb[s])
+                total = (total + fat * (wb + wt) + fmt * wt) % P
+            y.append(total)
+        emit(y[0], y[1], y[2], j)
+        r = challenges[-1]
+        Wc = fold_msb(Wc, r)
+        FA = fold_msb(FA, r)
+        FMwb = fold_msb(FMwb, r)
+    return Wc, FA, FMwb
+
+
+def build_phase1_tables_host(z, w_next, add_gates, mult_gates):
+    n = len(w_next)
+    eqz = eq_table(z)
+    HA1 = [0] * n
+    HA2 = [0] * n
+    HM = [0] * n
+    for (o, l, r) in add_gates:
+        e = eqz[o]
+        HA1[l] = (HA1[l] + e) % P
+        HA2[l] = (HA2[l] + e * w_next[r]) % P
+    for (o, l, r) in mult_gates:
+        HM[l] = (HM[l] + eqz[o] * w_next[r]) % P
+    return eqz, HA1, HA2, HM
+
+
+def build_phase2_tables_host(eqz, b_star, w_next, add_gates, mult_gates, wb):
+    n = len(w_next)
+    eqb = eq_table(b_star)
+    FA = [0] * n
+    FMwb = [0] * n
+    for (o, l, r) in add_gates:
+        FA[r] = (FA[r] + eqz[o] * eqb[l]) % P
+    for (o, l, r) in mult_gates:
+        FMwb[r] = (FMwb[r] + eqz[o] * eqb[l] * wb) % P
+    return FA, FMwb
+
+
+def make_emitter(proof, challenges, v, sup, has_add, has_mult,
+                 transcript: Mimc7):
+    def emit(y0: int, y1: int, y2: int, j: int) -> None:
+        full = coeffs_from_evals_deg2(y0, y1, y2)
+        coeffs = shape_coeffs(full,
+                              round_poly_len(j, v, sup, has_add, has_mult))
+        proof.append(coeffs)
+        challenges.append(transcript.multi_hash(coeffs, 0))
+    return emit
+
+
 def prove_layer_sumcheck(
     z: list[int],
     w_next: list[int],
@@ -105,92 +190,27 @@ def prove_layer_sumcheck(
     k = k_next
     v = 2 * k
     assert v >= 2
-    n = 1 << k
     sup = w_struct.support if not w_struct.empty else [False] * k
     has_add = len(add_gates) > 0
     has_mult = len(mult_gates) > 0
 
-    eqz = eq_table(z)  # size 2^k_cur (== [1] when k_cur == 0)
-
-    # phase-1 tables
-    HA1 = [0] * n
-    HA2 = [0] * n
-    HM = [0] * n
-    for (o, l, r) in add_gates:
-        e = eqz[o]
-        HA1[l] = (HA1[l] + e) % P
-        HA2[l] = (HA2[l] + e * w_next[r]) % P
-    for (o, l, r) in mult_gates:
-        e = eqz[o]
-        HM[l] = (HM[l] + e * w_next[r]) % P
-    W = [x % P for x in w_next]
-
     proof: list[list[int]] = []
     challenges: list[int] = []
+    emit = make_emitter(proof, challenges, v, sup, has_add, has_mult,
+                        transcript)
 
-    def emit(y0: int, y1: int, y2: int, j: int) -> None:
-        full = coeffs_from_evals_deg2(y0, y1, y2)
-        coeffs = shape_coeffs(full, round_poly_len(j, v, sup, has_add, has_mult))
-        proof.append(coeffs)
-        challenges.append(transcript.multi_hash(coeffs, 0))
-
-    # ---- phase 1: rounds 1..k over b ----
-    for j in range(1, k + 1):
-        half = len(W) // 2
-        y = []
-        for t in (0, 1, 2):
-            total = 0
-            for s in range(half):
-                w0, w1 = W[s], W[s + half]
-                a0, a1 = HA1[s], HA1[s + half]
-                h0, h1 = HA2[s], HA2[s + half]
-                m0, m1 = HM[s], HM[s + half]
-                wt = w0 + t * (w1 - w0)
-                at = a0 + t * (a1 - a0)
-                ht = h0 + t * (h1 - h0)
-                mt = m0 + t * (m1 - m0)
-                total = (total + (at + mt) * wt + ht) % P
-            y.append(total)
-        emit(y[0], y[1], y[2], j)
-        r = challenges[-1]
-        W = fold_msb(W, r)
-        HA1 = fold_msb(HA1, r)
-        HA2 = fold_msb(HA2, r)
-        HM = fold_msb(HM, r)
+    eqz, HA1, HA2, HM = build_phase1_tables_host(z, w_next, add_gates,
+                                                 mult_gates)
+    W = [x % P for x in w_next]
+    W, *_ = phase1_host_rounds(W, HA1, HA2, HM, 1, k, emit, challenges)
 
     b_star = challenges[:k]
     wb = W[0]  # W~(b*)
 
-    # ---- phase 2 tables over c ----
-    eqb = eq_table(b_star)
-    FA = [0] * n
-    FM = [0] * n
-    for (o, l, r) in add_gates:
-        FA[r] = (FA[r] + eqz[o] * eqb[l]) % P
-    for (o, l, r) in mult_gates:
-        FM[r] = (FM[r] + eqz[o] * eqb[l]) % P
+    FA, FMwb = build_phase2_tables_host(eqz, b_star, w_next, add_gates,
+                                        mult_gates, wb)
     Wc = [x % P for x in w_next]
-
-    # ---- phase 2: rounds k+1..2k over c ----
-    for j in range(k + 1, v + 1):
-        half = len(Wc) // 2
-        y = []
-        for t in (0, 1, 2):
-            total = 0
-            for s in range(half):
-                w0, w1 = Wc[s], Wc[s + half]
-                fa0, fa1 = FA[s], FA[s + half]
-                fm0, fm1 = FM[s], FM[s + half]
-                wt = w0 + t * (w1 - w0)
-                fat = fa0 + t * (fa1 - fa0)
-                fmt = fm0 + t * (fm1 - fm0)
-                total = (total + fat * (wb + wt) + fmt * wb * wt) % P
-            y.append(total)
-        emit(y[0], y[1], y[2], j)
-        r = challenges[-1]
-        Wc = fold_msb(Wc, r)
-        FA = fold_msb(FA, r)
-        FM = fold_msb(FM, r)
+    phase2_host_rounds(Wc, FA, FMwb, wb, k + 1, v, emit, challenges)
 
     return proof, challenges
 

@@ -76,7 +76,7 @@ def test_jax_backend_matches_host(seed):
     circuit, inputs = random_circuit(rng, depth=2, max_k=3)
     w = circuit.evaluate(inputs)
     p_host = prove(circuit, w)
-    p_jax = prove(circuit, w, backend=JaxBackend(host_threshold=0))
+    p_jax = prove(circuit, w, backend=JaxBackend(host_threshold=0, tail_threshold=1))
     assert_proofs_identical(p_host, p_jax)
     assert verify(p_jax, circuit, raise_on_fail=True)
 
@@ -85,5 +85,5 @@ def test_jax_backend_toy_circuit():
     circuit, inputs = reference_toy_circuit()
     w = circuit.evaluate(inputs)
     p_host = prove(circuit, w)
-    p_jax = prove(circuit, w, backend=JaxBackend(host_threshold=0))
+    p_jax = prove(circuit, w, backend=JaxBackend(host_threshold=0, tail_threshold=1))
     assert_proofs_identical(p_host, p_jax)
