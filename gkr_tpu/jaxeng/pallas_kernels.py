@@ -1,0 +1,287 @@
+"""Pallas TPU kernels for the sumcheck hot loop.
+
+Why: the XLA lowering of the limb arithmetic materializes the ~50
+intermediate buffers of the Montgomery chain in HBM (measured ~42 ms /
+2^20 muls, ~50x off speed-of-light).  These kernels keep the entire chain
+in VMEM per block, so HBM traffic is just inputs + outputs.
+
+Layout: the Pallas path keeps tables TRANSPOSED as (T, 16, n) — stack axis,
+then the 16 limbs on SUBLANES, then the batch axis on the 128-wide LANES.
+A (batch, 16)-minor layout would pad every vector register 16->128 and
+waste 7/8 of the VPU; the transposed layout is dense.  Conversion from the
+(n, T, 16) XLA-engine layout happens once per layer.
+
+The modulus limbs are compile-time Python-int scalars (Mosaic supports
+scalar-constant broadcasts; traced array constants cannot be captured).
+
+Kernels (all exact BN254 arithmetic, Montgomery domain):
+  pl_fold(S_T, r)                 bind the MSB variable of stacked tables
+  pl_phase1_eval(S_T) -> y(3,16)  g_j(0),g_j(1),g_j(2) for phase 1
+  pl_phase2_eval(S_T, wb) -> y    same for phase 2
+  pl_mont_mul(a, b)               standalone elementwise product (tests)
+
+Per-block partial sums are relaxed uint32 limb sums (block <= 2^13 keeps
+headroom) combined and renormalized by limbs.sum_mod.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import NPRIME16, P
+from . import limbs as L
+
+BLOCK = 1 << 11          # lanes per kernel instance (VMEM-bounded)
+M16 = 0xFFFF             # python-int scalar mask (no captured constants)
+
+P_INTS = [int(x) for x in L.P_LIMBS_NP]
+NEGP_INTS = [((1 << 256) - P) >> (16 * i) & 0xFFFF for i in range(16)]
+
+
+# ----------------------------------------------- (..., 16, n) layout math
+# Mosaic has no scatter lowering, so all limb math is written over LISTS of
+# row vectors (one (..., n) array per limb) with plain adds; rows are
+# stacked only at kernel output.
+
+def _rows(x):
+    return [x[..., i, :] for i in range(16)]
+
+
+def _carry_rows(rows):
+    carry = jnp.zeros_like(rows[0])
+    out = []
+    for i in range(16):
+        s = rows[i] + carry
+        out.append(s & M16)
+        carry = s >> 16
+    return out, carry
+
+
+def _cond_sub_rows(rows):
+    s, overflow = _carry_rows([a + b for a, b in zip(rows, NEGP_INTS)])
+    ge = overflow > 0
+    return [jnp.where(ge, x, y) for x, y in zip(s, rows)]
+
+
+def _norm_rows(rows):
+    clean, _ = _carry_rows(rows)
+    return _cond_sub_rows(clean)
+
+
+def _add_rows(a, b):
+    return _norm_rows([x + y for x, y in zip(a, b)])
+
+
+def _sub_rows(a, b):
+    u = [x + p + (M16 - y) for x, p, y in zip(a, P_INTS, b)]
+    u[0] = u[0] + 1
+    return _norm_rows(u)
+
+
+def _mmul_rows(a, b):
+    """Montgomery product over row lists."""
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * 32
+    for i in range(16):
+        ai = a[i]
+        for j in range(16):
+            p = ai * b[j]                           # exact in uint32
+            cols[i + j] = cols[i + j] + (p & M16)
+            cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
+    # REDC
+    npr = NPRIME16
+    for i in range(16):
+        ti_full = cols[i]
+        c = ti_full >> 16
+        ti = ti_full & M16
+        m = (ti * npr) & M16
+        mp0 = m * P_INTS[0]
+        carry_i = ((ti + (mp0 & M16)) >> 16) + c + (mp0 >> 16)
+        cols[i + 1] = cols[i + 1] + carry_i
+        for j in range(1, 16):
+            mp = m * P_INTS[j]
+            cols[i + j] = cols[i + j] + (mp & M16)
+            cols[i + j + 1] = cols[i + j + 1] + (mp >> 16)
+    return _norm_rows(cols[16:])
+
+
+# ------------------------------------------------------------------ kernels
+
+def _mont_mul_kernel(a_ref, b_ref, o_ref):
+    out = _mmul_rows(_rows(a_ref[:]), _rows(b_ref[:]))
+    o_ref[:] = jnp.stack(out, axis=-2)
+
+
+@jax.jit
+def pl_mont_mul_T(a, b):
+    """(16, n) x (16, n) -> (16, n)."""
+    n = a.shape[-1]
+    block = min(BLOCK, n)
+    return pl.pallas_call(
+        _mont_mul_kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+    )(a, b)
+
+
+@jax.jit
+def pl_mont_mul(a, b):
+    """(n, 16) interface wrapper (tests/interop)."""
+    return pl_mont_mul_T(a.T, b.T).T
+
+
+def _fold_kernel(lo_ref, hi_ref, r_ref, o_ref):
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    r_rows = [r_ref[0, i] for i in range(16)]       # scalars from SMEM
+    lo_r = _rows(lo)
+    hi_r = _rows(hi)
+    diff = _sub_rows(hi_r, lo_r)
+    prod = _mmul_rows(diff, r_rows)
+    out = _add_rows(lo_r, prod)
+    o_ref[:] = jnp.stack(out, axis=-2)
+
+
+@jax.jit
+def pl_fold(S_T, r):
+    """S_T: (T, 16, n), r: (16,) -> (T, 16, n/2)."""
+    tcnt = S_T.shape[0]
+    n = S_T.shape[-1]
+    half = n // 2
+    block = min(BLOCK, half)
+    grid = half // block
+    return pl.pallas_call(
+        _fold_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((tcnt, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tcnt, 16, block),
+                               lambda i, g=grid: (0, 0, i + g),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((tcnt, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tcnt, 16, half), jnp.uint32),
+    )(S_T, S_T, r.reshape(1, 16))
+
+
+def _phase1_eval_kernel(lo_ref, hi_ref, y_ref):
+    lo = lo_ref[:]                                  # (4, 16, BN)
+    hi = hi_ref[:]
+    w0, a0, h0, m0 = (_rows(lo[0]), _rows(lo[1]), _rows(lo[2]), _rows(lo[3]))
+    w1, a1, h1, m1 = (_rows(hi[0]), _rows(hi[1]), _rows(hi[2]), _rows(hi[3]))
+    dw = _sub_rows(w1, w0)
+    da = _sub_rows(a1, a0)
+    dh = _sub_rows(h1, h0)
+    dm = _sub_rows(m1, m0)
+    wt, at, ht, mt = w0, a0, h0, m0
+    acc = []
+    for t in range(3):
+        if t > 0:
+            wt = _add_rows(wt, dw)
+            at = _add_rows(at, da)
+            ht = _add_rows(ht, dh)
+            mt = _add_rows(mt, dm)
+        prod = _mmul_rows(_add_rows(at, mt), wt)
+        term = _add_rows(prod, ht)                   # 16 rows of (BN,)
+        # Mosaic lacks unsigned reductions; block sums fit int32 exactly
+        acc.append(jnp.stack([
+            jnp.sum(r.astype(jnp.int32), axis=-1).astype(jnp.uint32)
+            for r in term]))
+    y_ref[0] = jnp.stack(acc)                        # (3, 16)
+
+
+@jax.jit
+def pl_phase1_eval(S_T):
+    """S_T: (4, 16, n) -> y (3, 16) exact field values (Montgomery)."""
+    n = S_T.shape[-1]
+    half = n // 2
+    block = min(BLOCK, half)
+    grid = half // block
+    partials = pl.pallas_call(
+        _phase1_eval_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((4, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, 16, block),
+                               lambda i, g=grid: (0, 0, i + g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 3, 16), jnp.uint32),
+    )(S_T, S_T)
+    # per-block sums are RELAXED (limb < 2^27); canonicalize before summing
+    return L.sum_mod(L.normalize_relaxed(partials))
+
+
+def _phase2_eval_kernel(lo_ref, hi_ref, wb_ref, y_ref):
+    lo = lo_ref[:]                                  # (3, 16, BN)
+    hi = hi_ref[:]
+    wb = [wb_ref[0, i] for i in range(16)]          # scalars from SMEM
+    w0, f0, g0 = _rows(lo[0]), _rows(lo[1]), _rows(lo[2])
+    w1, f1, g1 = _rows(hi[0]), _rows(hi[1]), _rows(hi[2])
+    dw = _sub_rows(w1, w0)
+    df = _sub_rows(f1, f0)
+    dg = _sub_rows(g1, g0)
+    wt, fat, fmt = w0, f0, g0
+    acc = []
+    for t in range(3):
+        if t > 0:
+            wt = _add_rows(wt, dw)
+            fat = _add_rows(fat, df)
+            fmt = _add_rows(fmt, dg)
+        wbw = _norm_rows([x + y for x, y in zip(wt, wb)])
+        p1 = _mmul_rows(fat, wbw)
+        p2 = _mmul_rows(fmt, wt)
+        term = _add_rows(p1, p2)
+        # Mosaic lacks unsigned reductions; block sums fit int32 exactly
+        acc.append(jnp.stack([
+            jnp.sum(r.astype(jnp.int32), axis=-1).astype(jnp.uint32)
+            for r in term]))
+    y_ref[0] = jnp.stack(acc)
+
+
+@jax.jit
+def pl_phase2_eval(S_T, wb):
+    n = S_T.shape[-1]
+    half = n // 2
+    block = min(BLOCK, half)
+    grid = half // block
+    partials = pl.pallas_call(
+        _phase2_eval_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((3, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, 16, block),
+                               lambda i, g=grid: (0, 0, i + g),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 3, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 3, 16), jnp.uint32),
+    )(S_T, S_T, wb.reshape(1, 16))
+    return L.sum_mod(L.normalize_relaxed(partials))
+
+
+@jax.jit
+def to_T(S):
+    """(n, T, 16) -> (T, 16, n)."""
+    return jnp.transpose(S, (1, 2, 0))
+
+
+@jax.jit
+def from_T(S_T):
+    return jnp.transpose(S_T, (2, 0, 1))

@@ -42,6 +42,14 @@ from . import limbs as L
 # tail costs O(threshold) host multiplications total.
 DEVICE_TAIL = 1 << 12
 
+
+def _pallas_available() -> bool:
+    """Pallas TPU kernels need a real TPU backend (no CPU interpret here)."""
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
 SCATTER_CHUNK = 1 << 15
 
 
@@ -175,6 +183,7 @@ def prove_layer_sumcheck_jax(
     transcript: Mimc7,
     w_dev=None,
     tail_threshold: int = DEVICE_TAIL,
+    use_pallas: bool | None = None,
 ):
     """Drop-in replacement for gkr_tpu.sumcheck.prove_layer_sumcheck running
     the table math on the JAX device.  Transcript-identical to the host
@@ -183,7 +192,11 @@ def prove_layer_sumcheck_jax(
     Rounds run on device while the tables are larger than `tail_threshold`;
     the residual small-table rounds finish on the exact host engine — this
     caps the number of per-shape compiled programs per layer while leaving
-    only O(threshold) scalar work on the host."""
+    only O(threshold) scalar work on the host.
+
+    On TPU backends the per-round fold/evaluate use the fused Pallas kernels
+    (gkr_tpu.jaxeng.pallas_kernels, tables transposed to limb-on-sublane
+    layout); XLA kernels elsewhere."""
     k = k_next
     v = 2 * k
     assert v >= 2
@@ -209,21 +222,35 @@ def prove_layer_sumcheck_jax(
         y0, y1, y2 = L.unpack(y)
         emit_host(y0, y1, y2, j)
 
+    if use_pallas is None:
+        use_pallas = _pallas_available()
+    if use_pallas:
+        from . import pallas_kernels as PK
+
     # ---- phase 1 ----
     S1 = jnp.stack([w_dev, ha1, ha2, hm], axis=1)        # (n, 4, 16)
+    if use_pallas:
+        S1 = PK.to_T(S1)                                 # (4, 16, n)
     j = 1
-    while j <= k and S1.shape[0] > tail_threshold:
-        emit_dev(_phase1_eval(S1), j)
-        S1 = _fold(S1, L.pack_scalar(challenges[-1]))
+
+    def _size(S):
+        return S.shape[-1] if use_pallas else S.shape[0]
+
+    while j <= k and _size(S1) > tail_threshold:
+        y = PK.pl_phase1_eval(S1) if use_pallas else _phase1_eval(S1)
+        emit_dev(y, j)
+        r_dev = L.pack_scalar(challenges[-1])
+        S1 = PK.pl_fold(S1, r_dev) if use_pallas else _fold(S1, r_dev)
         j += 1
     if j <= k:
-        W, HA1, HA2, HM = _unstack_to_host(S1)
+        S1h = PK.from_T(S1) if use_pallas else S1
+        W, HA1, HA2, HM = _unstack_to_host(S1h)
         W, *_ = phase1_host_rounds(W, HA1, HA2, HM, j, k, emit_host,
                                    challenges)
         wb_int = W[0]
         wb = L.pack_scalar(wb_int)
     else:
-        wb = S1[0, 0]                                    # (16,)
+        wb = S1[0, :, 0] if use_pallas else S1[0, 0]     # (16,)
         wb_int = L.unpack_scalar(wb)
 
     b_star = challenges[:k]
@@ -234,13 +261,19 @@ def prove_layer_sumcheck_jax(
     fm = _build_phase2_table(eqz, eqb, mult_gates, n)
     fmwb = _mul_tables(fm, jnp.broadcast_to(wb, fm.shape))
     S2 = jnp.stack([w_dev, fa, fmwb], axis=1)            # (n, 3, 16)
+    if use_pallas:
+        S2 = PK.to_T(S2)
     j = k + 1
-    while j <= v and S2.shape[0] > tail_threshold:
-        emit_dev(_phase2_eval(S2, wb), j)
-        S2 = _fold(S2, L.pack_scalar(challenges[-1]))
+    while j <= v and _size(S2) > tail_threshold:
+        y = (PK.pl_phase2_eval(S2, wb) if use_pallas
+             else _phase2_eval(S2, wb))
+        emit_dev(y, j)
+        r_dev = L.pack_scalar(challenges[-1])
+        S2 = PK.pl_fold(S2, r_dev) if use_pallas else _fold(S2, r_dev)
         j += 1
     if j <= v:
-        Wc, FA, FMwb = _unstack_to_host(S2)
+        S2h = PK.from_T(S2) if use_pallas else S2
+        Wc, FA, FMwb = _unstack_to_host(S2h)
         phase2_host_rounds(Wc, FA, FMwb, wb_int, j, v, emit_host, challenges)
 
     return proof, challenges
