@@ -177,6 +177,21 @@ def pl_fold(S_T, r):
     )(S_T, S_T, r.reshape(1, 16))
 
 
+@jax.jit
+def pl_fold_rep(S_T, r):
+    """Shape-invariant fold: (T, 16, N) -> (T, 16, N).
+
+    The physical buffer holds each logical entry replicated N/s times
+    contiguously (s = logical table size), so the logical lo/hi halves are
+    always the physical halves.  Folding then re-duplicating keeps the
+    invariant and — crucially — keeps the program shape CONSTANT across all
+    sumcheck rounds: one Mosaic compile per layer instead of one per table
+    size (compiles dominate wall-clock at ~10s each).  Evaluations over the
+    replicated buffer are 2^(j-1) x the true sums; the host rescales."""
+    half = pl_fold(S_T, r)
+    return jnp.repeat(half, 2, axis=-1)
+
+
 def _phase1_eval_kernel(lo_ref, hi_ref, y_ref):
     lo = lo_ref[:]                                  # (4, 16, BN)
     hi = hi_ref[:]

@@ -85,6 +85,16 @@ def _fold(S, r):
 
 
 @jax.jit
+def _fold_rep(S, r):
+    """Shape-invariant fold ((N, t, 16) -> (N, t, 16)): fold the physical
+    halves, then duplicate each entry so logical entry i occupies physical
+    slots [i*rep, (i+1)*rep).  One compiled program serves every round of a
+    phase (see pallas_kernels.pl_fold_rep for the rationale)."""
+    half = L.fold_tables(S, r)
+    return jnp.repeat(half, 2, axis=0)
+
+
+@jax.jit
 def _gather_weights(eqz, out_idx, mask):
     e = eqz[out_idx]
     return jnp.where(mask[:, None], e, jnp.uint32(0))
@@ -168,9 +178,10 @@ def _build_phase2_table(eqz, eqb, gates, n):
 
 # ------------------------------------------------------------- layer prover
 
-def _unstack_to_host(S):
-    """(n, t, 16) device stack -> list of t host int tables."""
-    arr = np.asarray(jax.device_get(S))
+def _unstack_to_host(S, rep: int = 1):
+    """(N, t, 16) device stack -> list of t host int tables, keeping every
+    rep-th physical entry (the replicated-buffer invariant, see _fold_rep)."""
+    arr = np.asarray(jax.device_get(S))[::rep]
     return [L.unpack(jnp.asarray(arr[:, ti, :])) for ti in range(arr.shape[1])]
 
 
@@ -218,9 +229,15 @@ def prove_layer_sumcheck_jax(
     emit_host = make_emitter(proof, challenges, v, sup, has_add, has_mult,
                              transcript)
 
-    def emit_dev(y, j):
+    # The device rounds run SHAPE-INVARIANT: the physical buffer keeps its
+    # initial size and stores logical entry i replicated rep = 2^(round-1)
+    # times (see _fold_rep).  Evaluations over the replicated buffer are
+    # rep x the true sums; `scale` undoes that exactly on the host.
+    inv2 = (P + 1) // 2
+
+    def emit_dev(y, j, scale):
         y0, y1, y2 = L.unpack(y)
-        emit_host(y0, y1, y2, j)
+        emit_host(y0 * scale % P, y1 * scale % P, y2 * scale % P, j)
 
     if use_pallas is None:
         use_pallas = _pallas_available()
@@ -232,19 +249,17 @@ def prove_layer_sumcheck_jax(
     if use_pallas:
         S1 = PK.to_T(S1)                                 # (4, 16, n)
     j = 1
-
-    def _size(S):
-        return S.shape[-1] if use_pallas else S.shape[0]
-
-    while j <= k and _size(S1) > tail_threshold:
+    scale = 1
+    while j <= k and (n >> (j - 1)) > tail_threshold:
         y = PK.pl_phase1_eval(S1) if use_pallas else _phase1_eval(S1)
-        emit_dev(y, j)
+        emit_dev(y, j, scale)
         r_dev = L.pack_scalar(challenges[-1])
-        S1 = PK.pl_fold(S1, r_dev) if use_pallas else _fold(S1, r_dev)
+        S1 = PK.pl_fold_rep(S1, r_dev) if use_pallas else _fold_rep(S1, r_dev)
         j += 1
+        scale = scale * inv2 % P
     if j <= k:
         S1h = PK.from_T(S1) if use_pallas else S1
-        W, HA1, HA2, HM = _unstack_to_host(S1h)
+        W, HA1, HA2, HM = _unstack_to_host(S1h, rep=1 << (j - 1))
         W, *_ = phase1_host_rounds(W, HA1, HA2, HM, j, k, emit_host,
                                    challenges)
         wb_int = W[0]
@@ -264,16 +279,18 @@ def prove_layer_sumcheck_jax(
     if use_pallas:
         S2 = PK.to_T(S2)
     j = k + 1
-    while j <= v and _size(S2) > tail_threshold:
+    scale = 1
+    while j <= v and (n >> (j - k - 1)) > tail_threshold:
         y = (PK.pl_phase2_eval(S2, wb) if use_pallas
              else _phase2_eval(S2, wb))
-        emit_dev(y, j)
+        emit_dev(y, j, scale)
         r_dev = L.pack_scalar(challenges[-1])
-        S2 = PK.pl_fold(S2, r_dev) if use_pallas else _fold(S2, r_dev)
+        S2 = PK.pl_fold_rep(S2, r_dev) if use_pallas else _fold_rep(S2, r_dev)
         j += 1
+        scale = scale * inv2 % P
     if j <= v:
         S2h = PK.from_T(S2) if use_pallas else S2
-        Wc, FA, FMwb = _unstack_to_host(S2h)
+        Wc, FA, FMwb = _unstack_to_host(S2h, rep=1 << (j - k - 1))
         phase2_host_rounds(Wc, FA, FMwb, wb_int, j, v, emit_host, challenges)
 
     return proof, challenges

@@ -1,1 +1,2 @@
-from .gkr_spec import prove_spec  # noqa: F401
+from .gkr_spec import (prove_spec, prove_sumcheck_generic,  # noqa: F401
+                       verify_sumcheck_generic)

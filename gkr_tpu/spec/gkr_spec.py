@@ -160,6 +160,45 @@ def n_trailing_bits(wire, n):
 # ---------------------------------------------------------- sumcheck (spec)
 
 
+def prove_sumcheck_generic(g, v, transcript: Mimc7, start: int = 1):
+    """Textbook O(2^v) sumcheck over an arbitrary sparse term list.
+
+    Counterpart of the reference's generic provers — the Rust
+    `prove_sumcheck` (rust/src/gkr/sumcheck.rs:158-214, dead code there)
+    and the Python prototype `prove_sumcheck(g, v, start)`
+    (python/sumcheck.py:6-53).  `g` is a term list [coeff, deg_1..deg_v']
+    where the sumcheck variables occupy slots start..start+v-1; earlier
+    slots must already be bound (degree 0).  Round polynomials are
+    coefficient vectors highest-degree-first; each round's challenge is
+    MiMC(multi_hash) of that round's coefficients alone (footnote 4,
+    SURVEY.md section 5)."""
+    proof: list[list[int]] = []
+    r: list[int] = []
+    g_j = [list(t) for t in g]
+    for j in range(v):
+        if j > 0:
+            g_j = partial_eval_i(g_j, r[-1], start + j - 1)
+        # sum the univariate in slot start+j over the boolean suffix cube
+        acc: list[int] = []
+        for a_int in range(1 << (v - j - 1)):
+            a = [(a_int >> (v - j - 2 - i)) & 1 for i in range(v - j - 1)]
+            f = partial_eval_from(g_j, a, start + j + 1)
+            acc = add_univariate(acc, get_univariate_coeff(f, start + j,
+                                                           False))
+        proof.append(acc)
+        r.append(transcript.multi_hash(acc, 0))
+    return proof, r
+
+
+def verify_sumcheck_generic(claim, proof, r, v, transcript: Mimc7):
+    """python/sumcheck.py:55-70 — per-round g_j(0)+g_j(1) == expected plus
+    Fiat–Shamir binding recomputation.  Same checks as
+    gkr_tpu.sumcheck.verify_sumcheck (re-exported here so the spec package
+    is self-contained)."""
+    from ..sumcheck import verify_sumcheck
+    return verify_sumcheck(claim, proof, r, v, transcript)
+
+
 def prove_sumcheck_opt_spec(add_wire, mult_wire, add_i, mult_i, f1, f2, v,
                             transcript: Mimc7):
     """Mirror of rust/src/gkr/sumcheck.rs:36-156."""

@@ -157,3 +157,32 @@ def test_proof_json_roundtrip():
     p2 = Proof.from_json(s)
     assert_proofs_identical(proof, p2)
     assert verify(p2, circuit, raise_on_fail=True)
+
+
+def test_generic_sumcheck_prove_verify():
+    """Generic textbook sumcheck (spec counterpart of python/sumcheck.py:6-70
+    and the reference's dead-code rust/src/gkr/sumcheck.rs:158-214)."""
+    from gkr_tpu.field import eval_univariate
+    from gkr_tpu.spec import prove_sumcheck_generic, verify_sumcheck_generic
+    from gkr_tpu.spec.gkr_spec import partial_eval
+
+    rng = random.Random(7)
+    for v, nterms, maxdeg in [(2, 3, 1), (3, 5, 2), (4, 8, 3)]:
+        g = [[rng.randrange(1, P)] + [rng.randrange(maxdeg + 1)
+                                      for _ in range(v)]
+             for _ in range(nterms)]
+        claim = 0
+        for a_int in range(1 << v):
+            a = [(a_int >> (v - 1 - i)) & 1 for i in range(v)]
+            claim = (claim + partial_eval(g, a)[0][0]
+                     + sum(t[0] for t in partial_eval(g, a)[1:])) % P
+        t = Mimc7()
+        proof, r = prove_sumcheck_generic(g, v, Mimc7())
+        assert verify_sumcheck_generic(claim, proof, r, v, t)
+        # final binding: g_v(r_v) == g(r)
+        full = partial_eval(g, r)
+        g_at_r = sum(row[0] for row in full) % P
+        assert eval_univariate(proof[-1], r[-1]) == g_at_r
+        # tampered claim must fail
+        assert not verify_sumcheck_generic((claim + 1) % P, proof, r, v,
+                                           Mimc7())
