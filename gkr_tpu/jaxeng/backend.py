@@ -17,6 +17,7 @@ from ..field import P, interpolate
 from ..mle import MleStruct, line, mle_struct, restrict_to_line, sparse_from_dense
 from ..sumcheck import prove_layer_sumcheck
 from . import limbs as L
+from .fused import prove_layer_sumcheck_fused
 from .sumcheck import prove_layer_sumcheck_jax
 
 
@@ -68,16 +69,24 @@ def _struct_from_bitmap(nz: np.ndarray, k: int) -> MleStruct:
 class JaxBackend:
     """Device compute backend.  Caches packed tables per layer index."""
 
-    def __init__(self, host_threshold: int = 10, tail_threshold: int | None = None):
+    def __init__(self, host_threshold: int = 10, tail_threshold: int | None = None,
+                 fused: bool = True):
         from .sumcheck import DEVICE_TAIL
         self.host_threshold = host_threshold
         self.tail_threshold = DEVICE_TAIL if tail_threshold is None else tail_threshold
+        self.fused = fused
         self._packed: dict[int, jnp.ndarray] = {}
 
     # -- helpers ----------------------------------------------------------
 
     def _use_host(self, k: int) -> bool:
         return k <= self.host_threshold
+
+    def reset_cache(self) -> None:
+        """Called by prove() at proof start: the per-layer packed-table
+        cache must not leak between circuits (two same-sized layers of
+        different circuits would otherwise silently share a table)."""
+        self._packed = {}
 
     def packed(self, layer_idx: int, w_values) -> jnp.ndarray:
         t = self._packed.get(layer_idx)
@@ -103,6 +112,11 @@ class JaxBackend:
             return prove_layer_sumcheck(z, w_next, add_gates, mult_gates,
                                         k_cur, k_next, w_struct, transcript)
         w_dev = self.packed(layer_idx, w_next) if layer_idx is not None else None
+        if self.fused:
+            return prove_layer_sumcheck_fused(z, w_next, add_gates,
+                                              mult_gates, k_cur, k_next,
+                                              w_struct, transcript,
+                                              w_dev=w_dev)
         return prove_layer_sumcheck_jax(z, w_next, add_gates, mult_gates,
                                         k_cur, k_next, w_struct, transcript,
                                         w_dev=w_dev,

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..field import NPRIME16, P
+from ..field import NPRIME16, P, R2
 from . import limbs as L
 
 BLOCK = 1 << 11          # lanes per kernel instance (VMEM-bounded)
@@ -83,8 +83,10 @@ def _sub_rows(a, b):
     return _norm_rows(u)
 
 
-def _mmul_rows(a, b):
-    """Montgomery product over row lists."""
+def _mul_cols(a, b):
+    """Schoolbook partial-product columns of two 16-row values (b may be a
+    list of Python-int scalars — constants fold into the instruction
+    stream)."""
     zero = jnp.zeros_like(a[0])
     cols = [zero] * 32
     for i in range(16):
@@ -93,7 +95,12 @@ def _mmul_rows(a, b):
             p = ai * b[j]                           # exact in uint32
             cols[i + j] = cols[i + j] + (p & M16)
             cols[i + j + 1] = cols[i + j + 1] + (p >> 16)
-    # REDC
+    return cols
+
+
+def _redc_cols(cols):
+    """Montgomery reduction of 32 relaxed columns (limbs < 2^31) ->
+    canonical 16 rows (< p), value divided by R."""
     npr = NPRIME16
     for i in range(16):
         ti_full = cols[i]
@@ -108,6 +115,11 @@ def _mmul_rows(a, b):
             cols[i + j] = cols[i + j] + (mp & M16)
             cols[i + j + 1] = cols[i + j + 1] + (mp >> 16)
     return _norm_rows(cols[16:])
+
+
+def _mmul_rows(a, b):
+    """Montgomery product over row lists."""
+    return _redc_cols(_mul_cols(a, b))
 
 
 # ------------------------------------------------------------------ kernels
@@ -289,6 +301,143 @@ def pl_phase2_eval(S_T, wb):
         out_shape=jax.ShapeDtypeStruct((grid, 3, 16), jnp.uint32),
     )(S_T, S_T, wb.reshape(1, 16))
     return L.sum_mod(L.normalize_relaxed(partials))
+
+
+R2_INTS = [(R2 >> (16 * i)) & 0xFFFF for i in range(16)]
+
+
+def _normalize_kernel(t_ref, o_ref):
+    lin = t_ref.shape[-2]
+    rows = [t_ref[..., i, :] for i in range(lin)]
+    zero = jnp.zeros_like(rows[0])
+    cols = rows + [zero] * (32 - lin)
+    over_r = _redc_cols(cols)                    # value / R, canonical
+    out = _mmul_rows(over_r, R2_INTS)            # * R^2 / R  = value mod p
+    o_ref[:] = jnp.stack(out, axis=-2)
+
+
+@jax.jit
+def pl_normalize_T(t):
+    """Renormalize RELAXED limb accumulations, transposed layout:
+    (lin, n) uint32 with lin <= 32, limbs < 2^31, value < p*2^256
+    -> (16, n) canonical Montgomery.  The whole REDC chain stays in VMEM —
+    the XLA lowering costs ~170 ms per 2^20-row table, this ~1 ms."""
+    lin, n = t.shape
+    assert lin <= 32
+    block = min(BLOCK, n)
+    return pl.pallas_call(
+        _normalize_kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec((lin, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+    )(t)
+
+
+def _normalize_mul_kernel(t_ref, s_ref, o_ref):
+    lin = t_ref.shape[-2]
+    rows = [t_ref[..., i, :] for i in range(lin)]
+    zero = jnp.zeros_like(rows[0])
+    cols = rows + [zero] * (32 - lin)
+    over_r = _redc_cols(cols)
+    out = _mmul_rows(over_r, R2_INTS)
+    s_rows = [s_ref[0, i] for i in range(16)]            # scalars from SMEM
+    out = _mmul_rows(out, s_rows)
+    o_ref[:] = jnp.stack(out, axis=-2)
+
+
+@jax.jit
+def pl_normalize_mul_T(t, s):
+    """pl_normalize_T fused with a scalar Montgomery multiply:
+    (lin, n) relaxed, (16,) scalar -> (16, n) canonical * s."""
+    lin, n = t.shape
+    assert lin <= 32
+    block = min(BLOCK, n)
+    return pl.pallas_call(
+        _normalize_mul_kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec((lin, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
+    )(t, s.reshape(1, 16))
+
+
+# ------------------------------------------------------------- MiMC7 kernel
+
+def _pow7_rows(t):
+    t2 = _mmul_rows(t, t)
+    t4 = _mmul_rows(t2, t2)
+    t6 = _mmul_rows(t4, t2)
+    return _mmul_rows(t6, t)
+
+
+def _make_mimc_kernel(length: int, n_rounds: int):
+    """MiMC7 multi_hash over `length` field elements, all 91 rounds per
+    element inside one kernel (lax.fori_loop, constants from SMEM).  The
+    XLA scan version costs ~60 ms per hash from per-op dispatch latency on
+    tiny (16,) shapes; in-VMEM the chain runs in ~1 ms."""
+
+    def kernel(x_ref, cts_ref, o_ref):
+        r = [jnp.zeros_like(x_ref[0, 0])] * 16
+        for li in range(length):
+            x = [x_ref[li, i] for i in range(16)]
+            k_rows = r
+
+            def round_body(rd, h_stack, k_rows=k_rows):
+                h = [h_stack[i] for i in range(16)]
+                hk = _add_rows(h, k_rows)
+                t = _norm_rows([hk[j] + cts_ref[rd, j] for j in range(16)])
+                return jnp.stack(_pow7_rows(t))
+
+            t0 = _add_rows(x, k_rows)
+            h = jnp.stack(_pow7_rows(t0))
+            h = jax.lax.fori_loop(1, n_rounds, round_body, h)
+            hk = _add_rows([h[i] for i in range(16)], k_rows)
+            r = _add_rows(_add_rows(r, x), hk)
+        o_ref[:] = jnp.stack(r, axis=-2)
+
+    return kernel
+
+
+def _mimc_cts_smem():
+    from .mimc_dev import CTS_MONT
+    return CTS_MONT
+
+
+_MIMC_PROGS: dict = {}
+
+
+def pl_mimc_multi(x):
+    """multi_hash(x, key=0) for x: (L, 16) Montgomery limbs -> (16,)."""
+    length = x.shape[0]
+    prog = _MIMC_PROGS.get(length)
+    if prog is None:
+        from ..mimc import DEFAULT_ROUNDS
+        kernel = _make_mimc_kernel(length, DEFAULT_ROUNDS)
+
+        @jax.jit
+        def prog(xin):
+            xb = jnp.broadcast_to(xin[..., None], (length, 16, 128))
+            out = pl.pallas_call(
+                kernel,
+                grid=(1,),
+                in_specs=[pl.BlockSpec((length, 16, 128), lambda i: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec((16, 128), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((16, 128), jnp.uint32),
+            )(xb, _mimc_cts_smem())
+            return out[:, 0]
+
+        _MIMC_PROGS[length] = prog
+    return prog(x)
 
 
 @jax.jit

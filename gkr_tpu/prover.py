@@ -59,6 +59,8 @@ def prove(circuit: GKRCircuit, w_values: list[list[int]],
         transcript = Mimc7()
     if backend is None:
         backend = HostBackend()
+    if hasattr(backend, "reset_cache"):
+        backend.reset_cache()
     depth = circuit.depth()
     assert len(w_values) == depth + 1
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from ..frontend import R1csFile, WtnsFile, compile_r1cs_to_gkr, parse_sym
 from ..prover import prove
@@ -28,9 +29,26 @@ from .serialize import (CircomInputProof, get_meta, modify_proof_for_circom,
                         write_aggregated_input)
 from .templating import modify_circom_file
 
+# The reference proves the <=20 subcircuits of a round with a rayon
+# par_iter (rust/src/aggregator.rs:350-355,411-416).  Here each subcircuit
+# is an independent transcript, so a thread pool is safe; it pipelines the
+# per-subcircuit host prep against device compute (JaxBackend) or runs the
+# GIL-releasing native engine concurrently (CppBackend).
+MAX_PROVE_WORKERS = 8
+
+
+def _phase(label: str, t0: float) -> float:
+    """Coarse per-phase timer, keeping the reference's phase vocabulary
+    (aggregator.rs:349-358 `report_elapsed`)."""
+    now = time.time()
+    print(f"[{label}] {now - t0:.3f} seconds")
+    return now
+
 
 def _convert_and_prove(name: str, root_path: str, input_name: str,
-                       workdir: str, backend=None, check_verify: bool = False):
+                       workdir: str, backend=None, check_verify: bool = True,
+                       backend_factory=None):
+    t0 = time.time()
     r1cs = R1csFile.read(os.path.join(workdir, root_path, f"{name}.r1cs"))
     wtns = WtnsFile.read(os.path.join(workdir, "witness.wtns"))
     n_public = r1cs.header.n_pub_out + r1cs.header.n_pub_in
@@ -38,15 +56,29 @@ def _convert_and_prove(name: str, root_path: str, input_name: str,
                           n_public)
     circuits, w_values_list, public = compile_r1cs_to_gkr(r1cs, wtns,
                                                           sym_names)
+    t0 = _phase("convert", t0)
+
     print("Proving starts..")
-    t0 = time.time()
-    proofs = []
-    for circuit, w in zip(circuits, w_values_list):
-        proof = prove(circuit, w, backend=backend)
+
+    def prove_one(idx: int):
+        b = backend_factory() if backend_factory is not None else backend
+        proof = prove(circuits[idx], w_values_list[idx], backend=b)
         if check_verify:
-            assert verify_proof(proof, circuit), "self-verification failed"
-        proofs.append(proof)
-    print(f"Proving took {time.time() - t0:.3f} seconds")
+            assert verify_proof(proof, circuits[idx]), \
+                f"self-verification failed (subcircuit {idx})"
+        return proof
+
+    # A single shared stateful backend (e.g. one JaxBackend instance) is not
+    # thread-safe across proofs; parallelize only when each task can get its
+    # own backend (factory) or the default stateless HostBackend.
+    parallel_ok = backend is None or backend_factory is not None
+    if len(circuits) > 1 and parallel_ok:
+        workers = min(MAX_PROVE_WORKERS, len(circuits))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            proofs = list(pool.map(prove_one, range(len(circuits))))
+    else:
+        proofs = [prove_one(i) for i in range(len(circuits))]
+    t0 = _phase("prove", t0)
 
     out_path = os.path.join(workdir, root_path, f"{input_name}_output.json")
     with open(out_path, "w") as f:
@@ -55,7 +87,10 @@ def _convert_and_prove(name: str, root_path: str, input_name: str,
 
 
 def prove_recursively_circom(circuit_path: str, previous_proofs, input_path: str,
-                             workdir: str = ".", backend=None):
+                             workdir: str = ".", backend=None,
+                             check_verify: bool = True,
+                             backend_factory=None):
+    t0 = time.time()
     metas = get_meta(previous_proofs)
     padded = modify_proof_for_circom(previous_proofs, metas)
     cips = [CircomInputProof(p) for p in padded]
@@ -66,9 +101,13 @@ def prove_recursively_circom(circuit_path: str, previous_proofs, input_path: str
     agg_circuit = modify_circom_file(
         circuit_path, metas, os.path.join(workdir, "aggregated.circom"))
     print(f"{agg_circuit} generated")
+    t0 = _phase("serialize", t0)
 
     name, root_path = execute_circom(agg_circuit, agg_input, workdir)
-    return _convert_and_prove(name, root_path, input_name, workdir, backend)
+    _phase("compile", t0)
+    return _convert_and_prove(name, root_path, input_name, workdir, backend,
+                              check_verify=check_verify,
+                              backend_factory=backend_factory)
 
 
 def prove_groth(circuit_path: str, previous_proofs, input_path: str,
@@ -85,18 +124,25 @@ def prove_groth(circuit_path: str, previous_proofs, input_path: str,
 
 
 def prove_all(circuit_path: str, input_paths: list[str],
-              workdir: str = ".", backend=None):
-    """The reference CLI's `prove` flow (aggregator.rs:385-435)."""
+              workdir: str = ".", backend=None, check_verify: bool = True,
+              backend_factory=None):
+    """The reference CLI's `prove` flow (aggregator.rs:385-435).  Unlike the
+    reference, each round self-verifies its proofs by default (a bad proof
+    would otherwise propagate silently into the next round's witness)."""
     proofs = None
     for i, input_path in enumerate(input_paths):
         if i == 0:
             name, root_path = execute_circom(circuit_path, input_path, workdir)
             input_name = os.path.splitext(os.path.basename(input_path))[0]
             proofs = _convert_and_prove(name, root_path, input_name,
-                                        workdir, backend)
+                                        workdir, backend,
+                                        check_verify=check_verify,
+                                        backend_factory=backend_factory)
         elif i == len(input_paths) - 1:
             prove_groth(circuit_path, proofs, input_path, workdir)
         else:
             proofs = prove_recursively_circom(circuit_path, proofs,
-                                              input_path, workdir, backend)
+                                              input_path, workdir, backend,
+                                              check_verify=check_verify,
+                                              backend_factory=backend_factory)
     return proofs

@@ -157,16 +157,64 @@ def _wire_values(b: ConstraintBuilder, values: list[int]) -> list[LC]:
     return [LC.var(b.alloc(v)) for v in values]
 
 
+def eval_wiring_gadget(b: ConstraintBuilder, gates, k_cur: int, k_next: int,
+                       point: list[LC]) -> LC:
+    """In-circuit wiring-MLE evaluation: sum over gates of
+    eq(bits(out)||bits(l)||bits(r), point).  Gate labels are compile-time
+    constants, so each eq factor is linear (x_j or 1-x_j) and a gate costs
+    k_cur + 2*k_next - 1 multiplications.
+
+    This is the recombination ingredient the reference's circom verifier
+    omits entirely (verifier.circom:22-29, SURVEY §2 item 15)."""
+    nbits = k_cur + 2 * k_next
+    assert len(point) == nbits
+    total = LC.const(0)
+    one = LC.const(1)
+    for (o, l, r) in gates:
+        label = o << (2 * k_next) | l << k_next | r
+        acc = None
+        for j in range(nbits):
+            bit = (label >> (nbits - 1 - j)) & 1
+            factor = point[j] if bit else (one - point[j])
+            acc = factor if acc is None else b.mul(acc, factor)
+        total = total + acc
+    return total
+
+
 def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
-                      meta: list[int]) -> dict:
-    """Constraint-level mirror of VerifyGKR (circuits/gkr_verifier.circom):
-    sumcheck round sums + claim chaining, Dtilde(z_0) initial-claim binding,
-    final inputFunc~(z_{d-1}) equality.  The (padded) proof values enter as
-    private witness wires; returns the wire map for callers that want to
-    expose parts publicly."""
+                      meta: list[int] | None = None, circuit=None,
+                      full_fs: bool | None = None) -> dict:
+    """In-circuit GKR verifier at FULL host-verifier strength
+    (gkr_tpu/verifier.py), closing the soundness gaps the reference's
+    verifier.circom leaves open (free `sumcheckr`/`r` inputs, no wiring
+    recombination — rust verifier.circom:22-29):
+
+      * Dtilde(z_0) initial-claim binding, z_0 bound to the 0-vector
+        convention (rust/src/gkr/prover.rs:17-21);
+      * per round: g_j(0)+g_j(1) == claim AND (full_fs) the Fiat–Shamir
+        challenge is RECOMPUTED in-circuit, r_ij == MiMC7.multi_hash(g_j);
+      * per layer: r*_i == r_{i,v} (the line challenge IS the last round's
+        hash — same coefficients, key 0, so one equality constraint), and
+        the z-chain z_{i+1} == b* + (c* - b*) * r*_i is enforced;
+      * (with `circuit`) the wiring recombination
+        g_v(r_v) == add~(z_i,b*,c*)(q(0)+q(1)) + mult~(z_i,b*,c*) q(0)q(1);
+      * final inputFunc~(z_{d-1}) equality.
+
+    Costs (constraints): full_fs adds ~364*len(coeffs) per round (91 MiMC7
+    rounds x 4 muls per hashed coefficient); the recombination adds
+    (k_i + 2k_{i+1} - 1) muls per gate of layer i.  For the toy depth-3
+    circuit the full gadget is ~7k constraints vs ~60 for the weak
+    (reference-parity) version.
+
+    `full_fs` requires the UNPADDED proof (the transcript hashes the
+    structural-length coefficient lists; circom-style padding changes the
+    hash input), so it defaults to on only when `meta` is None; passing
+    `meta` selects the padded circom-parity shape with full_fs off."""
+    if full_fs is None:
+        full_fs = meta is None
+    if meta is None:
+        meta = get_meta([proof])[0]
     d = meta[0]
-    largest_k = meta[1]
-    max_terms = meta[4]
 
     wires = {
         "sumcheckProof": [[_wire_values(b, rnd) for rnd in layer]
@@ -179,11 +227,17 @@ def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
         "inputFunc": [_wire_values(b, t) for t in proof.input_func],
     }
 
+    if full_fs:
+        # z_0 is the protocol constant 0-vector; bind the witness wires.
+        for zw, zv in zip(wires["z"][0], proof.z[0]):
+            b.assert_eq(zw, LC.const(zv))
+
     # initial claim: Dtilde(z_0)
     claim = eval_sparse_mle_gadget(b, wires["D"], wires["z"][0][:meta[2]])
 
     for i in range(d - 1):
-        v = 2 * meta[9 + i]
+        k_next = meta[9 + i]
+        v = 2 * k_next
         rounds = wires["sumcheckProof"][i][:v]
         rs = wires["sumcheckr"][i]
         expected = claim
@@ -194,9 +248,39 @@ def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
             for c in coeffs[1:]:
                 at1 = at1 + c
             b.assert_eq(at0 + at1, expected)
+            if full_fs:
+                # challenges are not free inputs: recompute MiMC7 in-circuit
+                b.assert_eq(rs[j], mimc7_multi_gadget(b, coeffs))
             if j != v - 1:
                 expected = eval_poly_gadget(b, coeffs, rs[j])
-        # claim for the next layer: q_i(r_i)
+        g_final = eval_poly_gadget(b, rounds[v - 1], rs[v - 1])
+
+        if full_fs:
+            # r*_i = multi_hash(last round coeffs) = r_{i,v} — one equality.
+            b.assert_eq(wires["r"][i], rs[v - 1])
+            # z-chain: z_{i+1} = b* + (c* - b*) * r*_i
+            b_star, c_star = rs[:k_next], rs[k_next:v]
+            for t in range(k_next):
+                diff = b.mul(c_star[t] - b_star[t], wires["r"][i])
+                b.assert_eq(wires["z"][i + 1][t], b_star[t] + diff)
+
+        if circuit is not None:
+            # wiring recombination (full verifier strength)
+            layer = circuit.layers[i]
+            point = (wires["z"][i][:layer.k_cur]
+                     + rs[:k_next] + rs[k_next:v])
+            add_e = eval_wiring_gadget(b, layer.add_gates, layer.k_cur,
+                                       k_next, point)
+            mult_e = eval_wiring_gadget(b, layer.mult_gates, layer.k_cur,
+                                        k_next, point)
+            q0 = wires["q"][i][-1]
+            q1 = wires["q"][i][0]
+            for c in wires["q"][i][1:]:
+                q1 = q1 + c
+            lhs = b.mul(add_e, q0 + q1) + b.mul(mult_e, b.mul(q0, q1))
+            b.assert_eq(g_final, lhs)
+
+        # claim for the next layer: q_i(r*_i)
         claim = eval_poly_gadget(b, wires["q"][i], wires["r"][i])
 
     final = eval_sparse_mle_gadget(b, wires["inputFunc"],
@@ -221,39 +305,76 @@ def builder_to_r1cs(b: ConstraintBuilder):
 
 
 def prove_round_native(user_fn, user_input: dict,
-                       previous_proofs: list[Proof] | None,
-                       backend=None):
+                       previous_proofs=None,
+                       backend=None, full_fs: bool = False,
+                       check_verify: bool = True,
+                       recombination: bool = False):
     """One aggregation round: user constraints + verifier gadgets for every
-    previous proof, then GKR-prove the combined system."""
+    previous proof, then GKR-prove the combined system (subcircuits proved
+    in parallel, the rayon par_iter analog — aggregator.rs:350-355).
+
+    `previous_proofs` items may be bare Proofs or (Proof, GKRCircuit) pairs;
+    pairs enable the wiring-recombination check when `recombination` is on.
+    `full_fs` turns on in-circuit Fiat–Shamir recomputation (see
+    verify_gkr_gadget for the constraint-count cost — roughly 364 extra
+    constraints per hashed coefficient)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..frontend.compiler import compile_r1cs_to_gkr
     from ..prover import prove
+    from ..verifier import verify as verify_proof
 
     b = ConstraintBuilder()
     user_fn(b, user_input)
     if previous_proofs:
-        metas = get_meta(previous_proofs)
-        padded = modify_proof_for_circom(previous_proofs, metas)
-        for proof, meta in zip(padded, metas):
-            verify_gkr_gadget(b, proof, meta)
+        items = [(p, None) if isinstance(p, Proof) else p
+                 for p in previous_proofs]
+        if full_fs:
+            for proof, circ in items:
+                verify_gkr_gadget(
+                    b, proof, circuit=circ if recombination else None,
+                    full_fs=True)
+        else:
+            proofs_only = [p for p, _ in items]
+            metas = get_meta(proofs_only)
+            padded = modify_proof_for_circom(proofs_only, metas)
+            for (proof, circ), pp, meta in zip(items, padded, metas):
+                verify_gkr_gadget(b, pp, meta,
+                                  circuit=circ if recombination else None)
 
     r1cs, wtns = builder_to_r1cs(b)
     circuits, w_values_list, _ = compile_r1cs_to_gkr(r1cs, wtns, check=True)
-    proofs = [prove(c, w, backend=backend)
-              for c, w in zip(circuits, w_values_list)]
-    return proofs, b
+
+    def prove_one(idx):
+        proof = prove(circuits[idx], w_values_list[idx], backend=backend)
+        if check_verify:
+            assert verify_proof(proof, circuits[idx]), \
+                f"self-verification failed (subcircuit {idx})"
+        return proof
+
+    if len(circuits) > 1 and backend is None:
+        with ThreadPoolExecutor(max_workers=min(8, len(circuits))) as pool:
+            proofs = list(pool.map(prove_one, range(len(circuits))))
+    else:
+        proofs = [prove_one(i) for i in range(len(circuits))]
+    return list(zip(proofs, circuits)), b
 
 
 def prove_all_native(user_fn, inputs: list[dict], backend=None,
-                     export_final: str | None = None):
+                     export_final: str | None = None,
+                     full_fs: bool = False, check_verify: bool = True,
+                     recombination: bool = False):
     """Full aggregation: round 0 direct, middle rounds with verifier
     gadgets, final round exported as aggregated.r1cs/witness.wtns for the
-    snarkjs groth16 hand-off (no circom/node anywhere)."""
-    proofs = None
+    snarkjs groth16 hand-off (no circom/node anywhere).  Each round
+    self-verifies by default (check_verify), unlike the reference."""
+    pairs = None
     final_builder = None
     for i, user_input in enumerate(inputs):
-        prev = proofs if i > 0 else None
-        proofs, final_builder = prove_round_native(user_fn, user_input, prev,
-                                                   backend=backend)
+        prev = pairs if i > 0 else None
+        pairs, final_builder = prove_round_native(
+            user_fn, user_input, prev, backend=backend, full_fs=full_fs,
+            check_verify=check_verify, recombination=recombination)
     if export_final and final_builder is not None:
         from ..frontend.r1cs import R1csFile
         from ..frontend.wtns import WtnsFile
@@ -263,4 +384,4 @@ def prove_all_native(user_fn, inputs: list[dict], backend=None,
                        n_prv_in=len(final_builder.witness) - 1,
                        constraints=final_builder.constraints)
         WtnsFile.write(f"{export_final}.wtns", P, final_builder.witness)
-    return proofs
+    return [p for p, _ in pairs]

@@ -1,0 +1,60 @@
+"""Time the device-resident fused layer sumcheck on the real TPU."""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+import jax
+
+from gkr_tpu.field import P
+from gkr_tpu.mimc import Mimc7
+from gkr_tpu.mle import MleStruct
+from gkr_tpu.jaxeng import limbs as L
+from gkr_tpu.jaxeng.fused import prove_layer_sumcheck_fused
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    use_pallas = os.environ.get("NO_PALLAS", "") == ""
+    n = 1 << k
+    k_cur = 4
+    rng = random.Random(1)
+    print("device:", jax.devices()[0], "k:", k, "pallas:", use_pallas)
+
+    t0 = time.time()
+    w = [rng.randrange(P) for _ in range(n)]
+    add_gates = []
+    mult_gates = []
+    for g in range(n):
+        o = g & ((1 << k_cur) - 1)
+        trip = (o, rng.randrange(n), rng.randrange(n))
+        (add_gates if g & 1 else mult_gates).append(trip)
+    z = [rng.randrange(P) for _ in range(k_cur)]
+    struct = MleStruct(k, False, [True] * k, k)
+    print(f"synth: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    w_dev = L.pack(w)
+    w_dev.block_until_ready()
+    print(f"pack w (host codec + upload): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    prove_layer_sumcheck_fused(z, w, add_gates, mult_gates, k_cur, k,
+                               struct, Mimc7(), w_dev=w_dev,
+                               use_pallas=use_pallas)
+    print(f"warmup (compiles): {time.time()-t0:.1f}s")
+
+    for rep in range(3):
+        t0 = time.time()
+        prove_layer_sumcheck_fused(z, w, add_gates, mult_gates, k_cur, k,
+                                   struct, Mimc7(), w_dev=w_dev,
+                                   use_pallas=use_pallas)
+        dt = time.time() - t0
+        print(f"run {rep}: {dt*1000:.0f} ms -> {n/dt:,.0f} gates/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,10 +68,92 @@ def test_device_mobius_and_multieval():
     assert got == [table_eval(table, pt) for pt in pts]
 
 
+def test_device_mimc_matches_host():
+    """mimc_dev (the on-device Fiat-Shamir used by the fused engine) is
+    bit-identical to the host Mimc7 (the reference's mimc-rs scheme,
+    rust/src/gkr/sumcheck.rs:45,83-85)."""
+    import jax
+
+    from gkr_tpu.jaxeng import mimc_dev as MD
+    from gkr_tpu.mimc import Mimc7
+    m = Mimc7()
+    rng = random.Random(21)
+    x, k = rng.randrange(P), rng.randrange(P)
+    got = L.unpack_scalar(jax.jit(MD.mimc_hash_dev)(
+        L.pack_scalar(x), L.pack_scalar(k)))
+    assert got == m.hash(x, k)
+    for length in (1, 2, 3):
+        arr = [rng.randrange(P) for _ in range(length)]
+        fn = jax.jit(lambda xs: MD.multi_hash_dev(
+            [xs[i] for i in range(length)]))
+        assert L.unpack_scalar(fn(L.pack(arr))) == m.multi_hash(arr, 0)
+    # edge inputs that stress the Montgomery carries
+    for arr in ([0], [P - 1, P - 1], [0, 1, P - 1]):
+        fn = jax.jit(lambda xs, n=len(arr): MD.multi_hash_dev(
+            [xs[i] for i in range(n)]))
+        assert L.unpack_scalar(fn(L.pack(arr))) == m.multi_hash(arr, 0)
+
+
+def test_seg_build_matches_scatter():
+    """The sort+cumsum segment-sum build equals a direct host scatter,
+    including collision-heavy and empty buckets."""
+    import jax
+    import jax.numpy as jnp
+
+    from gkr_tpu.jaxeng.fused import _seg_build
+    rng = random.Random(22)
+    n, G = 16, 64
+    keys = [rng.randrange(n) for _ in range(G)]
+    # collision stress: many gates into one bucket with near-max limbs
+    for i in range(20):
+        keys[i] = 3
+    w1 = [P - 1 - rng.randrange(4) for _ in range(G)]
+    w2 = [rng.randrange(P) for _ in range(G)]
+    t1, t2 = jax.jit(lambda k_, a, b: _seg_build(k_, [a, b], n))(
+        jnp.asarray(keys, jnp.int32), L.pack(w1), L.pack(w2))
+    want1 = [0] * n
+    want2 = [0] * n
+    for g in range(G):
+        want1[keys[g]] = (want1[keys[g]] + w1[g]) % P
+        want2[keys[g]] = (want2[keys[g]] + w2[g]) % P
+    assert L.unpack(t1) == want1
+    assert L.unpack(t2) == want2
+
+
+def test_fused_layer_sumcheck_parity():
+    """Fused device-resident layer sumcheck vs the exact host engine:
+    identical round polynomials AND challenges (the fused wrapper itself
+    asserts the on-device MiMC challenges match the host recomputation)."""
+    from gkr_tpu.jaxeng.fused import prove_layer_sumcheck_fused
+    from gkr_tpu.mimc import Mimc7
+    from gkr_tpu.mle import mle_struct
+    from gkr_tpu.sumcheck import prove_layer_sumcheck
+
+    rng = random.Random(23)
+    for (k, kc, na, nm) in [(3, 2, 5, 7), (4, 3, 16, 0), (5, 1, 0, 9)]:
+        n = 1 << k
+        w = [rng.randrange(P) for _ in range(n)]
+        if k >= 4:
+            for i in range(0, n, 3):
+                w[i] = 0                  # exercise structural-length rules
+        ag = [(rng.randrange(1 << kc), rng.randrange(n), rng.randrange(n))
+              for _ in range(na)]
+        mg = [(rng.randrange(1 << kc), rng.randrange(n), rng.randrange(n))
+              for _ in range(nm)]
+        z = [rng.randrange(P) for _ in range(kc)]
+        st = mle_struct(w)
+        p_host, c_host = prove_layer_sumcheck(z, w, ag, mg, kc, k, st,
+                                              Mimc7())
+        p_dev, c_dev = prove_layer_sumcheck_fused(z, w, ag, mg, kc, k, st,
+                                                  Mimc7())
+        assert p_host == p_dev
+        assert c_host == c_dev
+
+
 @pytest.mark.parametrize("seed", [0, 5, 9])
 def test_jax_backend_matches_host(seed):
-    """Transcript parity host-engine vs device-engine, forcing the device
-    path for every layer (host_threshold=0)."""
+    """Transcript parity host-engine vs device-engine (fused path),
+    forcing the device path for every layer (host_threshold=0)."""
     rng = random.Random(seed)
     circuit, inputs = random_circuit(rng, depth=2, max_k=3)
     w = circuit.evaluate(inputs)
@@ -86,4 +168,16 @@ def test_jax_backend_toy_circuit():
     w = circuit.evaluate(inputs)
     p_host = prove(circuit, w)
     p_jax = prove(circuit, w, backend=JaxBackend(host_threshold=0, tail_threshold=1))
+    assert_proofs_identical(p_host, p_jax)
+
+
+def test_jax_backend_legacy_engine_matches_host():
+    """The round-1 per-round engine (fused=False) stays transcript-correct."""
+    rng = random.Random(5)
+    circuit, inputs = random_circuit(rng, depth=2, max_k=3)
+    w = circuit.evaluate(inputs)
+    p_host = prove(circuit, w)
+    p_jax = prove(circuit, w, backend=JaxBackend(host_threshold=0,
+                                                 tail_threshold=1,
+                                                 fused=False))
     assert_proofs_identical(p_host, p_jax)
