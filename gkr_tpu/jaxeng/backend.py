@@ -17,7 +17,7 @@ from ..field import P, interpolate
 from ..mle import MleStruct, line, mle_struct, restrict_to_line, sparse_from_dense
 from ..sumcheck import prove_layer_sumcheck
 from . import limbs as L
-from .fused import prove_layer_sumcheck_fused
+from .fused import LayerWiring, build_wiring, prove_layer_sumcheck_fused
 from .sumcheck import prove_layer_sumcheck_jax
 
 
@@ -35,6 +35,12 @@ def _mobius_dev(C):
 @jax.jit
 def _nonzero_bitmap(C):
     return jnp.any(C != 0, axis=-1)
+
+
+@jax.jit
+def _from_mont(C):
+    """(xR) limbs -> canonical x limbs: one REDC (divide by R)."""
+    return L._redc(L._pad_last(C, 0, 16))
 
 
 @jax.jit
@@ -76,6 +82,10 @@ class JaxBackend:
         self.tail_threshold = DEVICE_TAIL if tail_threshold is None else tail_threshold
         self.fused = fused
         self._packed: dict[int, jnp.ndarray] = {}
+        # circuit-static wiring plans; guarded by gate-list identity, so it
+        # survives reset_cache() (stale reuse across circuits is impossible:
+        # a different circuit passes different list objects)
+        self._wiring: dict[int, tuple] = {}
 
     # -- helpers ----------------------------------------------------------
 
@@ -87,6 +97,15 @@ class JaxBackend:
         cache must not leak between circuits (two same-sized layers of
         different circuits would otherwise silently share a table)."""
         self._packed = {}
+
+    def wiring(self, layer_idx, add_gates, mult_gates, n) -> LayerWiring:
+        ent = self._wiring.get(layer_idx)
+        if (ent is not None and ent[0] is add_gates and ent[1] is mult_gates
+                and ent[3] == n):
+            return ent[2]
+        w = build_wiring(add_gates, mult_gates, n)
+        self._wiring[layer_idx] = (add_gates, mult_gates, w, n)
+        return w
 
     def packed(self, layer_idx: int, w_values) -> jnp.ndarray:
         t = self._packed.get(layer_idx)
@@ -113,10 +132,13 @@ class JaxBackend:
                                         k_cur, k_next, w_struct, transcript)
         w_dev = self.packed(layer_idx, w_next) if layer_idx is not None else None
         if self.fused:
+            wiring = (self.wiring(layer_idx, add_gates, mult_gates,
+                                  1 << k_next)
+                      if layer_idx is not None else None)
             return prove_layer_sumcheck_fused(z, w_next, add_gates,
                                               mult_gates, k_cur, k_next,
                                               w_struct, transcript,
-                                              w_dev=w_dev)
+                                              w_dev=w_dev, wiring=wiring)
         return prove_layer_sumcheck_jax(z, w_next, add_gates, mult_gates,
                                         k_cur, k_next, w_struct, transcript,
                                         w_dev=w_dev,
@@ -138,6 +160,20 @@ class JaxBackend:
         return interpolate(list(zip(range(deg + 1), ys)))
 
     def sparse_from_dense(self, w_values):
-        # Sparse term lists appear only at protocol boundaries; host is fine
-        # for the output layer, and exact for any size.
-        return sparse_from_dense(w_values)
+        """Device Möbius transform + nonzero compaction -> lazy SparseMle.
+
+        Python work is O(1) at construction (rows materialize only if a
+        consumer iterates them); the device does the O(n log n) transform
+        and the canonical-form conversion.  Small tables keep the exact
+        host path (dispatch latency dominates)."""
+        from ..mle import SparseMle
+
+        n = len(w_values)
+        k = n.bit_length() - 1
+        if self._use_host(k):
+            return sparse_from_dense(w_values)
+        C = _mobius_dev(L.pack(w_values))
+        nz = np.nonzero(np.asarray(jax.device_get(_nonzero_bitmap(C))))[0]
+        rows = np.asarray(jax.device_get(
+            _from_mont(C[jnp.asarray(nz, dtype=jnp.int32)])))
+        return SparseMle(k, nz, rows)

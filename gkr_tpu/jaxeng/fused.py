@@ -44,6 +44,7 @@ linear-time dense equivalent.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 
@@ -72,17 +73,21 @@ def _pallas_platform() -> bool:
 
 # ----------------------------------------------------------- segment build
 
-def _seg_build_relaxed(keys, weights, n):
-    """Segment-sum scatter replacement (in-trace).
+def _seg_build_planned(perm, hi_b, weights, n):
+    """Segment-sum scatter replacement given a PRECOMPUTED plan.
 
-    keys: (G,) int32 bucket ids in [0, n); weights: list of (G, 16)
+    perm: (G,) int32 stable-sort permutation of the gate list by bucket id;
+    hi_b: (n,) int32 with hi_b[b] = #gates whose bucket id is <= b (i.e.
+    searchsorted(sorted_keys, b, side='right')).  weights: list of (G, 16)
     canonical Montgomery limb arrays.  Returns one (n, 17) RELAXED
     base-2^16 limb table per weight array (limbs < 2^30), such that
     normalize(T)[b] = sum_{g: keys_g == b} w_g.
+
+    The plan depends only on the wiring (not on z or the witness), so it is
+    computed once per layer on the host and cached (LayerWiring).
     """
-    G = keys.shape[0]
+    G = perm.shape[0]
     assert G <= MAX_GATES, "gate list too large for split-limb cumsum"
-    sk, perm = lax.sort((keys, jnp.arange(G, dtype=jnp.int32)), num_keys=1)
     cols = []
     for w in weights:
         ws = w[perm]
@@ -90,7 +95,6 @@ def _seg_build_relaxed(keys, weights, n):
         cols.append(ws >> 8)
     allc = jnp.concatenate(cols, axis=1)                  # (G, 32 * len)
     C = jnp.cumsum(allc, axis=0, dtype=jnp.uint32)
-    hi_b = jnp.searchsorted(sk, jnp.arange(n, dtype=jnp.int32), side="right")
     Cz = jnp.concatenate([jnp.zeros((1, C.shape[1]), jnp.uint32), C], axis=0)
     t_hi = Cz[hi_b]                                       # (n, 32 * len)
     t_prev = jnp.concatenate(
@@ -109,10 +113,66 @@ def _seg_build_relaxed(keys, weights, n):
     return out
 
 
+def _seg_build_relaxed(keys, weights, n):
+    """In-trace variant of _seg_build_planned: sorts the (traced) keys and
+    derives the plan on device.  Used where no host-side wiring cache is
+    available (the sharded engine's per-device builds)."""
+    G = keys.shape[0]
+    sk, perm = lax.sort((keys, jnp.arange(G, dtype=jnp.int32)), num_keys=1)
+    hi_b = jnp.searchsorted(sk, jnp.arange(n, dtype=jnp.int32), side="right")
+    return _seg_build_planned(perm, hi_b, weights, n)
+
+
 def _seg_build(keys, weights, n):
     """Canonical-table variant of _seg_build_relaxed (XLA normalize)."""
     return [L.normalize_relaxed(rel)
             for rel in _seg_build_relaxed(keys, weights, n)]
+
+
+class LayerWiring(NamedTuple):
+    """Per-layer wiring-derived device arrays: gate columns plus the
+    segment-sum plans (sort permutation + bucket boundaries) for both
+    phases.  Depends only on the circuit wiring — computed once per layer
+    on the host (numpy argsort/searchsorted) and reused for every proof of
+    that circuit, mirroring the reference's once-per-circuit wiring-MLE
+    construction (rust/src/convert.rs:715-776)."""
+    add_olr: jnp.ndarray      # (3, Gp) int32 [out, left, right]
+    mult_olr: jnp.ndarray
+    a1_perm: jnp.ndarray      # phase-1 plans (keyed by left)
+    a1_hib: jnp.ndarray
+    m1_perm: jnp.ndarray
+    m1_hib: jnp.ndarray
+    a2_perm: jnp.ndarray      # phase-2 plans (keyed by right)
+    a2_hib: jnp.ndarray
+    m2_perm: jnp.ndarray
+    m2_hib: jnp.ndarray
+
+
+def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
+    """Host-side wiring precompute: pad gate columns to a power of two and
+    derive the sort/boundary plans for both phase keys."""
+    parts = {}
+    for name, gates in (("a", add_gates), ("m", mult_gates)):
+        gp = _pad_pow2(len(gates))
+        g = np.zeros((3, gp), dtype=np.int32)
+        if gates:
+            g[:, :len(gates)] = np.asarray(gates, dtype=np.int32).T
+        parts[name + "_olr"] = jnp.asarray(g)
+        for phase, col in ((1, 1), (2, 2)):
+            keys = g[col]
+            perm = np.argsort(keys, kind="stable").astype(np.int32)
+            sk = keys[perm]
+            hib = np.searchsorted(
+                sk, np.arange(n, dtype=np.int32), side="right"
+            ).astype(np.int32)
+            parts[f"{name}{phase}_perm"] = jnp.asarray(perm)
+            parts[f"{name}{phase}_hib"] = jnp.asarray(hib)
+    return LayerWiring(
+        add_olr=parts["a_olr"], mult_olr=parts["m_olr"],
+        a1_perm=parts["a1_perm"], a1_hib=parts["a1_hib"],
+        m1_perm=parts["m1_perm"], m1_hib=parts["m1_hib"],
+        a2_perm=parts["a2_perm"], a2_hib=parts["a2_hib"],
+        m2_perm=parts["m2_perm"], m2_hib=parts["m2_hib"])
 
 
 def _masked_weights(eqz, out_idx, count):
@@ -123,24 +183,25 @@ def _masked_weights(eqz, out_idx, count):
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
-def _build_phase1(w_dev, z_dev, olr2, counts, n, pallas=False):
+def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     """Upload-once phase-1 prep: eqz + the HA1/HA2 (add) and HM (mult)
     tables, stacked with W into the round stack — (n, 4, 16) row layout,
     or (4, 16, n) limb-on-sublane layout when `pallas` (normalization then
     runs in the in-VMEM Pallas kernel instead of the ~170 ms XLA REDC)."""
     na, nm = counts
     eqz = L.eq_table_device(z_dev)
-    add_olr, mult_olr = olr2
     if pallas:
         from . import pallas_kernels as PK
     if na:
-        wa = _masked_weights(eqz, add_olr[0], na)
-        prod_a = L.mont_mul(wa, w_dev[add_olr[2]])
-        ha1_rel, ha2_rel = _seg_build_relaxed(add_olr[1], [wa, prod_a], n)
+        wa = _masked_weights(eqz, wiring.add_olr[0], na)
+        prod_a = L.mont_mul(wa, w_dev[wiring.add_olr[2]])
+        ha1_rel, ha2_rel = _seg_build_planned(
+            wiring.a1_perm, wiring.a1_hib, [wa, prod_a], n)
     if nm:
-        wm = _masked_weights(eqz, mult_olr[0], nm)
-        prod_m = L.mont_mul(wm, w_dev[mult_olr[2]])
-        (hm_rel,) = _seg_build_relaxed(mult_olr[1], [prod_m], n)
+        wm = _masked_weights(eqz, wiring.mult_olr[0], nm)
+        prod_m = L.mont_mul(wm, w_dev[wiring.mult_olr[2]])
+        (hm_rel,) = _seg_build_planned(
+            wiring.m1_perm, wiring.m1_hib, [prod_m], n)
     if pallas:
         zt = jnp.zeros((16, n), jnp.uint32)
         ha1 = PK.pl_normalize_T(ha1_rel.T) if na else zt
@@ -158,20 +219,21 @@ def _build_phase1(w_dev, z_dev, olr2, counts, n, pallas=False):
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8))
-def _build_phase2(w_dev, b_star, wb, wa, wm, olr2, counts, n, pallas=False):
+def _build_phase2(w_dev, b_star, wb, wa, wm, wiring, counts, n, pallas=False):
     """Phase-2 prep: eq(b*) table + the FA and FM*W~(b*) tables, stacked
     with W — layouts as in _build_phase1."""
     na, nm = counts
-    add_olr, mult_olr = olr2
     eqb = L.eq_table_device(b_star)
     if pallas:
         from . import pallas_kernels as PK
     if na:
-        wa2 = L.mont_mul(wa, eqb[add_olr[1]])
-        (fa_rel,) = _seg_build_relaxed(add_olr[2], [wa2], n)
+        wa2 = L.mont_mul(wa, eqb[wiring.add_olr[1]])
+        (fa_rel,) = _seg_build_planned(
+            wiring.a2_perm, wiring.a2_hib, [wa2], n)
     if nm:
-        wm2 = L.mont_mul(wm, eqb[mult_olr[1]])
-        (fm_rel,) = _seg_build_relaxed(mult_olr[2], [wm2], n)
+        wm2 = L.mont_mul(wm, eqb[wiring.mult_olr[1]])
+        (fm_rel,) = _seg_build_planned(
+            wiring.m2_perm, wiring.m2_hib, [wm2], n)
     if pallas:
         zt = jnp.zeros((16, n), jnp.uint32)
         fa = PK.pl_normalize_T(fa_rel.T) if na else zt
@@ -243,9 +305,12 @@ _fold = jax.jit(L.fold_tables)
 _stack3 = jax.jit(lambda rows: jnp.stack(rows))
 
 
+PALLAS_HASH = True   # in-VMEM MiMC: 5.6 ms/hash vs 55 ms XLA scan (v5e)
+
+
 def _hash_round(c2, c1, c0, length, use_pallas):
     assert length in (2, 3), "round polynomial degree out of protocol range"
-    if use_pallas:
+    if use_pallas and PALLAS_HASH:
         from . import pallas_kernels as PK
         coeffs = [c2, c1, c0][3 - length:]
         return PK.pl_mimc_multi(jnp.stack(coeffs))
@@ -312,10 +377,15 @@ def prove_layer_sumcheck_fused(
     transcript: Mimc7,
     w_dev=None,
     use_pallas: bool | None = None,
+    wiring: LayerWiring | None = None,
 ):
     """Drop-in replacement for gkr_tpu.sumcheck.prove_layer_sumcheck — a
     device-resident round chain with exactly one download per layer, the
-    transcript asserted identical to the host engine's."""
+    transcript asserted identical to the host engine's.
+
+    `wiring` carries the circuit-static gate arrays + segment-sum plans;
+    pass a cached LayerWiring to skip the per-proof host prep (the backend
+    caches one per layer)."""
     k = k_next
     v = 2 * k
     assert v >= 2
@@ -333,18 +403,18 @@ def prove_layer_sumcheck_fused(
     if w_dev is None:
         w_dev = L.pack(w_next)
     z_dev = L.pack(z) if z else jnp.zeros((0, 16), jnp.uint32)
-    add_olr = _gate_cols(add_gates, _pad_pow2(na))
-    mult_olr = _gate_cols(mult_gates, _pad_pow2(nm))
+    if wiring is None:
+        wiring = build_wiring(add_gates, mult_gates, n)
 
     pallas_build = use_pallas and n >= PALLAS_MIN
-    S1, wa, wm = _build_phase1(w_dev, z_dev, (add_olr, mult_olr),
+    S1, wa, wm = _build_phase1(w_dev, z_dev, wiring,
                                (na, nm), n, pallas_build)
     S1, rows1, rs1 = _run_phase(S1, 1, k, sched, use_pallas,
                                 in_T=pallas_build)
     wb = S1[0, 0]
 
     b_star = _stack3(rs1)
-    S2 = _build_phase2(w_dev, b_star, wb, wa, wm, (add_olr, mult_olr),
+    S2 = _build_phase2(w_dev, b_star, wb, wa, wm, wiring,
                        (na, nm), n, pallas_build)
     _, rows2, rs2 = _run_phase(S2, k + 1, k, sched, use_pallas,
                                phase2_wb=wb, in_T=pallas_build)

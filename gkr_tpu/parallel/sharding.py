@@ -1,44 +1,67 @@
-"""Multi-chip sharded sumcheck: MLE tables distributed over a device mesh.
+"""Multi-chip sharded GKR layer sumcheck — device-resident, shard_map-based.
 
-Sharding layout (the key design decision): the global hypercube index is
-split g = row * D + dev — the mesh axis carries the LOW bits (the LAST
-sumcheck variables), rows carry the high bits.  Tables are stored as
-(rows, D, t, 16) with NamedSharding P(None, 'x', None, None):
+This is the fused single-chip engine (gkr_tpu.jaxeng.fused) distributed over
+a 1-D device mesh.  Design:
 
-  * binding a round variable folds axis 0 (the global MSB) — a purely LOCAL
-    operation on every chip for the first k - log2(D) rounds of each phase;
-    no re-sharding, no collectives (the reference's rayon work-stealing
-    analog, SURVEY §2 parallelism inventory, maps to this);
-  * the per-round evaluations g_j(0),g_j(1),g_j(2) reduce over both axes:
-    axis 0 locally, axis 1 across the mesh — XLA inserts the psum over
-    ICI automatically from the sharding annotations;
-  * once rows == 1 the surviving table has one element per chip (D values
-    total): it is gathered to the host and the remaining log2(D) rounds run
-    on the exact host engine — identical math, byte-identical transcript.
+  * **Layout**: global hypercube index b = row * D + dev — the mesh axis
+    carries the LOW bits of b (the LAST sumcheck variables).  Tables are
+    (D, rows, t, 16) uint32 Montgomery limb stacks, shard_map'd with
+    P('x'): device `dev` owns all buckets ≡ dev (mod D).
+  * **Local folds**: binding a round variable folds the MSB of `row` — a
+    purely local halving on every chip for the first k - log2(D) rounds of
+    each phase.  This is the TPU analog of the reference's rayon
+    work-stealing over wire assignments (rust/src/gkr/sumcheck.rs:50-63).
+  * **One psum per round**: the three round-polynomial evaluations
+    g_j(0), g_j(1), g_j(2) are reduced locally, then one `lax.psum` of
+    3x16 uint32 limbs crosses the mesh (ICI).  Everything else in a round
+    (deg-2 interpolation, the MiMC7 Fiat-Shamir challenge via
+    gkr_tpu.jaxeng.mimc_dev, the fold) is computed replicated on-device —
+    zero host syncs mid-layer, exactly like the fused engine.
+  * **Sharded builds**: the wiring tables (HA1/HA2/HM and FA/FMwb) are
+    built per-device by the sort+cumsum segment-sum over a host-side gate
+    partition (gate g goes to device key_g mod D), so build work also
+    scales 1/D.  eq(b*, left) factorizes over the bit split
+    (eq_hi[left div D] * eq_lo[left mod D]), so no device materializes a
+    full-size eq table — per-device eq work is O(rows + D).
+  * **Tail**: when rows == 1, the surviving D values are all_gather'ed
+    (one ICI collective) and the remaining log2(D) rounds run replicated
+    inside a single compiled program.
+  * W is kept replicated for the per-gate W[right] gathers (the gather
+    pattern is data-dependent; replication is the standard trade).  Memory
+    per chip: n replicated W + 4n/D sharded stack limbs.
 
-This mirrors the scaling recipe: annotate shardings, let XLA place the
-collectives; communication volume is ~D field elements per phase.
+Per layer the host uploads (W, z, gate partitions) and downloads one ~KB
+stack of coefficients + challenges; the transcript is re-derived on the
+host and asserted identical, so divergence is a hard failure, never silent.
+
+Compiled-program inventory per (D, table-size): one build per phase, one
+round program per (local size, coeff count), one tail per (sched tuple) —
+all reused across rounds, layers, circuits and processes (persistent cache).
+
+Semantics proved: the reference's per-layer sumcheck `prove_sumcheck_opt`
+(rust/src/gkr/sumcheck.rs:35-156); distribution replaces the reference's
+rayon `par_iter().map().reduce()` (SURVEY §2 parallelism inventory) with
+mesh collectives per the scaling-book recipe.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
-from ..field import P
 from ..mimc import Mimc7
-from ..mle import MleStruct, fold_msb
-from ..sumcheck import (coeffs_from_evals_deg2, prove_layer_sumcheck,
-                        round_poly_len, shape_coeffs)
+from ..mle import MleStruct
+from ..sumcheck import prove_layer_sumcheck, round_poly_len, shape_coeffs
 from ..jaxeng import limbs as L
+from ..jaxeng import mimc_dev as MD
 from ..jaxeng.backend import JaxBackend
-from ..jaxeng.sumcheck import (_build_phase1_tables, _build_phase2_table,
-                               _mul_tables)
+from ..jaxeng.fused import _interp3, _seg_build_relaxed
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -49,40 +72,27 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("x",))
 
 
-# ------------------------------------------------------------ round kernels
-
-@jax.jit
-def _sum2(term):
-    """(rows, D, ..., 16) -> (..., 16): local row sum then cross-shard sum
-    (XLA inserts the mesh collective from the sharding)."""
-    part = L.sum_mod(term)          # over rows (local)
-    return L.sum_mod(part)          # over D (sharded -> psum)
+def _hash_sched(c2, c1, c0, sched_len: int):
+    coeffs = [c2, c1, c0][3 - sched_len:]
+    return MD.multi_hash_dev(coeffs)
 
 
-@jax.jit
-def _sharded_phase1_eval(S):
-    """S: (rows, D, 4, 16) -> y (3, 16) replicated."""
-    lo, hi, at2 = L.eval3_halves(S)
-    T = jnp.stack([lo, hi, at2])                     # (3, rows/2, D, 4, 16)
-    w, ha1, ha2, hm = T[..., 0, :], T[..., 1, :], T[..., 2, :], T[..., 3, :]
-    term = L.add_mod(L.mont_mul(L.add_mod(ha1, hm), w), ha2)
-    return _sum2(jnp.moveaxis(term, 0, 2))           # (rows/2, D, 3, 16) -> (3,16)
-
-
-@jax.jit
-def _sharded_phase2_eval(S, wb):
+def _eval_term_p1(S):
+    """S: (m, 4, 16) -> local relaxed-canonical y (3, 16)."""
     lo, hi, at2 = L.eval3_halves(S)
     T = jnp.stack([lo, hi, at2])
-    w, fa, fmwb = T[..., 0, :], T[..., 1, :], T[..., 2, :]
+    w, ha1, ha2, hm = T[:, :, 0], T[:, :, 1], T[:, :, 2], T[:, :, 3]
+    term = L.add_mod(L.mont_mul(L.add_mod(ha1, hm), w), ha2)
+    return L.sum_mod(jnp.swapaxes(term, 0, 1))
+
+
+def _eval_term_p2(S, wb):
+    lo, hi, at2 = L.eval3_halves(S)
+    T = jnp.stack([lo, hi, at2])
+    w, fa, fmwb = T[:, :, 0], T[:, :, 1], T[:, :, 2]
     wbb = jnp.broadcast_to(wb, w.shape)
-    term = L.add_mod(L.mont_mul(fa, L.add_mod(wbb, w)),
-                     L.mont_mul(fmwb, w))
-    return _sum2(jnp.moveaxis(term, 0, 2))
-
-
-@jax.jit
-def _sharded_fold(S, r):
-    return L.fold_tables(S, r)
+    term = L.add_mod(L.mont_mul(fa, L.add_mod(wbb, w)), L.mont_mul(fmwb, w))
+    return L.sum_mod(jnp.swapaxes(term, 0, 1))
 
 
 class ShardedSumcheck:
@@ -92,15 +102,162 @@ class ShardedSumcheck:
         self.mesh = mesh
         self.D = mesh.devices.size
         assert self.D & (self.D - 1) == 0, "mesh size must be a power of two"
-        self.spec = NamedSharding(mesh, PSpec(None, "x"))
+        self.log_d = self.D.bit_length() - 1
 
-    def _shard(self, table: jnp.ndarray):
-        """(n, t, 16) -> (rows, D, t, 16) with the mesh axis on dim 1."""
-        n = table.shape[0]
-        rows = n // self.D
-        resh = table.reshape(rows, self.D, *table.shape[1:])
-        return jax.device_put(resh, NamedSharding(
-            self.mesh, PSpec(None, "x", *([None] * (resh.ndim - 2)))))
+    # ------------------------------------------------------------ partitions
+
+    def _partition(self, gates, n, key_col: int):
+        """Host-side gate partition by key mod D.  Returns int32
+        (D, Gp, 3) gate columns re-keyed locally (key // D) plus a
+        (D, Gp) validity mask, Gp padded to a power of two for shape reuse."""
+        D = self.D
+        g = np.asarray(gates, dtype=np.int64).reshape(-1, 3)
+        buckets = [g[g[:, key_col] % D == d] for d in range(D)]
+        gp = max(8, 1 << int(max(1, max(len(b) for b in buckets)) - 1)
+                 .bit_length()) if gates else 8
+        cols = np.zeros((D, gp, 3), dtype=np.int32)
+        mask = np.zeros((D, gp), dtype=bool)
+        for d, b in enumerate(buckets):
+            m = len(b)
+            if m:
+                loc = b.copy()
+                loc[:, key_col] //= D
+                cols[d, :m] = loc
+                mask[d, :m] = True
+        return jnp.asarray(cols), jnp.asarray(mask)
+
+    # ------------------------------------------------------- program factory
+
+    @lru_cache(maxsize=None)
+    def _build1(self):
+        D = self.D
+
+        def f(w_full, eqz, ga, ma, gm, mm):
+            # local views: ga (1, Gp, 3) keyed by left//D, ma (1, Gp)
+            dev = lax.axis_index("x")
+            n = w_full.shape[0]
+            rows = n // D
+            w_loc = w_full[jnp.arange(rows, dtype=jnp.int32) * D + dev]
+            oa, la, ra = ga[0, :, 0], ga[0, :, 1], ga[0, :, 2]
+            wa = jnp.where(ma[0][:, None], eqz[oa], jnp.uint32(0))
+            prod_a = L.mont_mul(wa, w_full[ra])
+            ha1_rel, ha2_rel = _seg_build_relaxed(la, [wa, prod_a], rows)
+            om, lm, rm = gm[0, :, 0], gm[0, :, 1], gm[0, :, 2]
+            wm = jnp.where(mm[0][:, None], eqz[om], jnp.uint32(0))
+            prod_m = L.mont_mul(wm, w_full[rm])
+            (hm_rel,) = _seg_build_relaxed(lm, [prod_m], rows)
+            ha1 = L.normalize_relaxed(ha1_rel)
+            ha2 = L.normalize_relaxed(ha2_rel)
+            hm = L.normalize_relaxed(hm_rel)
+            return jnp.stack([w_loc, ha1, ha2, hm], axis=1)[None]
+
+        return jax.jit(jax.shard_map(
+            f, mesh=self.mesh,
+            in_specs=(PSpec(), PSpec(), PSpec("x"), PSpec("x"),
+                      PSpec("x"), PSpec("x")),
+            out_specs=PSpec("x"), check_vma=False))
+
+    @lru_cache(maxsize=None)
+    def _build2(self, k: int):
+        """Phase-2 build: gates partitioned by right mod D, eq(b*) factored
+        into eq_hi (rows) * eq_lo (D)."""
+        D, ld = self.D, self.log_d
+
+        def f(w_full, eqz, rs_loc, rs_tail, fin, ga, ma, gm, mm):
+            # phase-1 outputs arrive still on device: local-round challenges
+            # (tuple of (16,)), tail challenges (ld, 16), final stack (t, 16)
+            dev = lax.axis_index("x")
+            n = w_full.shape[0]
+            rows = n // D
+            w_loc = w_full[jnp.arange(rows, dtype=jnp.int32) * D + dev]
+            wb = fin[0]
+            parts = list(rs_loc) + [rs_tail[i] for i in range(ld)]
+            b_star = jnp.stack(parts) if parts else rs_tail
+            eqhi = L.eq_table_device(b_star[:k - ld])      # (rows, 16)
+            eqlo = L.eq_table_device(b_star[k - ld:])      # (D, 16)
+
+            def weights(g, m):
+                o, l, r = g[0, :, 0], g[0, :, 1], g[0, :, 2]
+                w = jnp.where(m[0][:, None], eqz[o], jnp.uint32(0))
+                e = L.mont_mul(eqhi[l // D], eqlo[l % D])
+                return L.mont_mul(w, e), r
+
+            wa2, ra = weights(ga, ma)
+            (fa_rel,) = _seg_build_relaxed(ra, [wa2], rows)
+            wm2, rm = weights(gm, mm)
+            (fm_rel,) = _seg_build_relaxed(rm, [wm2], rows)
+            fa = L.normalize_relaxed(fa_rel)
+            fm = L.normalize_relaxed(fm_rel)
+            fmwb = L.mont_mul(fm, jnp.broadcast_to(wb, fm.shape))
+            return jnp.stack([w_loc, fa, fmwb], axis=1)[None]
+
+        return jax.jit(jax.shard_map(
+            f, mesh=self.mesh,
+            in_specs=(PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
+                      PSpec("x"), PSpec("x"), PSpec("x"), PSpec("x")),
+            out_specs=PSpec("x"), check_vma=False))
+
+    @lru_cache(maxsize=None)
+    def _round(self, sched_len: int, phase: int):
+        """One sumcheck round: local eval, one psum, replicated interp +
+        MiMC + local fold.  Compiled once per (local size, sched, phase)."""
+
+        def f(Sl, fin):
+            S = Sl[0]                                       # (m, t, 16)
+            y_loc = (_eval_term_p1(S) if phase == 1
+                     else _eval_term_p2(S, fin[0]))
+            y = L.normalize_relaxed(lax.psum(y_loc, "x"))   # (3, 16)
+            c2, c1, c0 = _interp3(y[0], y[1], y[2])
+            r = _hash_sched(c2, c1, c0, sched_len)
+            Sf = L.fold_tables(S, r)[None]
+            return Sf, jnp.stack([c2, c1, c0]), r
+
+        return jax.jit(jax.shard_map(
+            f, mesh=self.mesh, in_specs=(PSpec("x"), PSpec()),
+            out_specs=(PSpec("x"), PSpec(), PSpec()), check_vma=False))
+
+    @lru_cache(maxsize=None)
+    def _tail(self, scheds: tuple[int, ...], phase: int):
+        """Final log2(D) rounds over the gathered (D, t, 16) residual —
+        one compiled program, fully replicated compute."""
+
+        def f(Sl, fin):
+            g = lax.all_gather(Sl[0, 0], "x")               # (D, t, 16)
+            rows_c, rows_r = [], []
+            for sched_len in scheds:
+                y = (_eval_term_p1(g) if phase == 1
+                     else _eval_term_p2(g, fin[0]))
+                c2, c1, c0 = _interp3(y[0], y[1], y[2])
+                r = _hash_sched(c2, c1, c0, sched_len)
+                rows_c.append(jnp.stack([c2, c1, c0]))
+                rows_r.append(r)
+                g = L.fold_tables(g, r)
+            cs = (jnp.stack(rows_c) if rows_c
+                  else jnp.zeros((0, 3, 16), jnp.uint32))
+            rs = (jnp.stack(rows_r) if rows_r
+                  else jnp.zeros((0, 16), jnp.uint32))
+            return cs, rs, g[0]
+
+        return jax.jit(jax.shard_map(
+            f, mesh=self.mesh, in_specs=(PSpec("x"), PSpec()),
+            out_specs=(PSpec(), PSpec(), PSpec()), check_vma=False))
+
+    # ------------------------------------------------------------- the prove
+
+    def _run_phase(self, S, first_round, k, sched, phase, fin):
+        """Local halving rounds then the gathered tail; everything on
+        device.  Returns (coeff stacks, challenge stacks, final (t,16))."""
+        coeff_rows, r_list = [], []
+        j = first_round
+        while S.shape[1] >= 2:
+            step = self._round(sched[j - 1], phase)
+            S, cs, r = step(S, fin)
+            coeff_rows.append(cs)
+            r_list.append(r)
+            j += 1
+        tail_sched = tuple(sched[jj - 1] for jj in range(j, first_round + k))
+        cs, rs, final = self._tail(tail_sched, phase)(S, fin)
+        return coeff_rows, r_list, cs, rs, final
 
     def prove_layer_sumcheck(self, z, w_next, add_gates, mult_gates,
                              k_cur, k_next, w_struct: MleStruct,
@@ -112,96 +269,62 @@ class ShardedSumcheck:
             # table too small to shard: run the exact host engine
             return prove_layer_sumcheck(z, w_next, add_gates, mult_gates,
                                         k_cur, k_next, w_struct, transcript)
-        log_d = D.bit_length() - 1
         sup = w_struct.support if not w_struct.empty else [False] * k
         has_add = len(add_gates) > 0
         has_mult = len(mult_gates) > 0
+        sched = tuple(round_poly_len(j, v, sup, has_add, has_mult)
+                      for j in range(1, v + 1))
 
+        # Commit every input to THIS mesh up front: feeding a program on a
+        # device-subset mesh a mix of submesh-committed and uncommitted
+        # arrays segfaults XLA:CPU instead of resharding.
+        rep = NamedSharding(self.mesh, PSpec())
+        shx = NamedSharding(self.mesh, PSpec("x"))
         if w_dev is None:
             w_dev = L.pack(w_next)
-        eqz = L.jeq_table(L.pack(z)) if z else L.jeq_table(
-            jnp.zeros((0, 16), jnp.uint32))
-        ha1, ha2 = _build_phase1_tables(eqz, w_dev, add_gates, n)
-        _, hm = _build_phase1_tables(eqz, w_dev, mult_gates, n)
+        w_dev = jax.device_put(w_dev, rep)
+        eqz = jax.device_put(
+            L.jeq_table(L.pack(z)) if z
+            else L.jeq_table(jnp.zeros((0, 16), jnp.uint32)), rep)
+        part = lambda g, col: tuple(
+            jax.device_put(a, shx) for a in self._partition(g, n, col))
+        ga1, ma1 = part(add_gates, 1)
+        gm1, mm1 = part(mult_gates, 1)
 
-        proof, challenges = [], []
+        S1 = self._build1()(w_dev, eqz, ga1, ma1, gm1, mm1)
+        dummy = jnp.zeros((4, 16), jnp.uint32)
+        rows1, rs1, cs1, rst1, fin1 = self._run_phase(S1, 1, k, sched, 1,
+                                                      dummy)
 
-        def emit(y0, y1, y2, j):
-            coeffs = shape_coeffs(
-                coeffs_from_evals_deg2(y0, y1, y2),
-                round_poly_len(j, v, sup, has_add, has_mult))
+        ga2, ma2 = part(add_gates, 2)
+        gm2, mm2 = part(mult_gates, 2)
+        S2 = self._build2(k)(w_dev, eqz, tuple(rs1), rst1, fin1,
+                             ga2, ma2, gm2, mm2)
+        rows2, rs2, cs2, rst2, _ = self._run_phase(S2, k + 1, k, sched, 2,
+                                                   fin1)
+
+        # ONE batched download for the whole layer; host-side assembly only
+        # (eager jnp ops on mesh-committed arrays are avoided entirely —
+        # they abort/segfault XLA:CPU when the mesh is a device subset).
+        h_rows1, h_cs1, h_rst1, h_rs1, h_rows2, h_cs2, h_rst2, h_rs2 = \
+            jax.device_get((rows1, cs1, rst1, rs1, rows2, cs2, rst2, rs2))
+        coeff_mats = (list(h_rows1) + list(h_cs1)
+                      + list(h_rows2) + list(h_cs2))      # v x (3, 16)
+        r_vecs = (list(h_rs1) + list(h_rst1)
+                  + list(h_rs2) + list(h_rst2))           # v x (16,)
+        flat = L.unpack(np.stack(coeff_mats))        # v * 3 ints
+        rs_device = L.unpack(np.stack(r_vecs))       # v ints
+
+        proof: list[list[int]] = []
+        challenges: list[int] = []
+        for j in range(1, v + 1):
+            full = flat[3 * (j - 1): 3 * j]
+            coeffs = shape_coeffs(full, sched[j - 1])
             proof.append(coeffs)
-            challenges.append(transcript.multi_hash(coeffs, 0))
-
-        def run_phase(S_flat, eval_fn, first_round, extra=()):
-            """S_flat: (n, t, 16) stacked tables; returns the host-side
-            residual tables once rows == 1."""
-            S = self._shard(S_flat)
-            j = first_round
-            while S.shape[0] >= 2:
-                y = eval_fn(S, *extra)
-                y0, y1, y2 = L.unpack(y)
-                emit(y0, y1, y2, j)
-                S = _sharded_fold(S, L.pack_scalar(challenges[-1]))
-                j += 1
-            # rows == 1: D elements left, one per chip — finish on host
-            tail = np.asarray(jax.device_get(S))     # (1, D, t, 16)
-            t_cnt = tail.shape[2]
-            tables = [L.unpack(jnp.asarray(tail[0, :, ti, :]))
-                      for ti in range(t_cnt)]
-            return j, tables
-
-        # ---- phase 1 ----
-        S1 = jnp.stack([w_dev, ha1, ha2, hm], axis=1)
-        j, (W_t, HA1_t, HA2_t, HM_t) = run_phase(S1, _sharded_phase1_eval, 1)
-        for jj in range(j, k + 1):
-            half = len(W_t) // 2
-            ys = []
-            for t in (0, 1, 2):
-                total = 0
-                for s in range(half):
-                    wt = W_t[s] + t * (W_t[s + half] - W_t[s])
-                    at = HA1_t[s] + t * (HA1_t[s + half] - HA1_t[s])
-                    ht = HA2_t[s] + t * (HA2_t[s + half] - HA2_t[s])
-                    mt = HM_t[s] + t * (HM_t[s + half] - HM_t[s])
-                    total = (total + (at + mt) * wt + ht) % P
-                ys.append(total)
-            emit(ys[0], ys[1], ys[2], jj)
-            r = challenges[-1]
-            W_t = fold_msb(W_t, r)
-            HA1_t = fold_msb(HA1_t, r)
-            HA2_t = fold_msb(HA2_t, r)
-            HM_t = fold_msb(HM_t, r)
-
-        b_star = challenges[:k]
-        wb_int = W_t[0]
-
-        # ---- phase 2 ----
-        eqb = L.jeq_table(L.pack(b_star))
-        fa = _build_phase2_table(eqz, eqb, add_gates, n)
-        fm = _build_phase2_table(eqz, eqb, mult_gates, n)
-        wb_dev = L.pack_scalar(wb_int)
-        fmwb = _mul_tables(fm, jnp.broadcast_to(wb_dev, fm.shape))
-        S2 = jnp.stack([w_dev, fa, fmwb], axis=1)
-        j, (Wc_t, FA_t, FMwb_t) = run_phase(
-            S2, _sharded_phase2_eval, k + 1, extra=(wb_dev,))
-        for jj in range(j, v + 1):
-            half = len(Wc_t) // 2
-            ys = []
-            for t in (0, 1, 2):
-                total = 0
-                for s in range(half):
-                    wt = Wc_t[s] + t * (Wc_t[s + half] - Wc_t[s])
-                    fat = FA_t[s] + t * (FA_t[s + half] - FA_t[s])
-                    fmt = FMwb_t[s] + t * (FMwb_t[s + half] - FMwb_t[s])
-                    total = (total + fat * (wb_int + wt) + fmt * wt) % P
-                ys.append(total)
-            emit(ys[0], ys[1], ys[2], jj)
-            r = challenges[-1]
-            Wc_t = fold_msb(Wc_t, r)
-            FA_t = fold_msb(FA_t, r)
-            FMwb_t = fold_msb(FMwb_t, r)
-
+            r = transcript.multi_hash(coeffs, 0)
+            assert r == rs_device[j - 1], (
+                f"device/host Fiat-Shamir divergence at round {j}")
+            challenges.append(r)
         return proof, challenges
 
 

@@ -1,4 +1,7 @@
-"""Time the device-resident fused layer sumcheck on the real TPU."""
+"""Time the device-resident fused layer sumcheck on the real TPU.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/bench_fused.py [k]
+"""
 
 from __future__ import annotations
 
@@ -9,11 +12,17 @@ import time
 
 import jax
 
-from gkr_tpu.field import P
-from gkr_tpu.mimc import Mimc7
-from gkr_tpu.mle import MleStruct
-from gkr_tpu.jaxeng import limbs as L
-from gkr_tpu.jaxeng.fused import prove_layer_sumcheck_fused
+_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache-device")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from gkr_tpu.field import P  # noqa: E402
+from gkr_tpu.mimc import Mimc7  # noqa: E402
+from gkr_tpu.mle import MleStruct  # noqa: E402
+from gkr_tpu.jaxeng import limbs as L  # noqa: E402
+from gkr_tpu.jaxeng.fused import (build_wiring,  # noqa: E402
+                                  prove_layer_sumcheck_fused)
 
 
 def main():
@@ -22,7 +31,8 @@ def main():
     n = 1 << k
     k_cur = 4
     rng = random.Random(1)
-    print("device:", jax.devices()[0], "k:", k, "pallas:", use_pallas)
+    print("device:", jax.devices()[0], "k:", k, "pallas:", use_pallas,
+          flush=True)
 
     t0 = time.time()
     w = [rng.randrange(P) for _ in range(n)]
@@ -34,26 +44,33 @@ def main():
         (add_gates if g & 1 else mult_gates).append(trip)
     z = [rng.randrange(P) for _ in range(k_cur)]
     struct = MleStruct(k, False, [True] * k, k)
-    print(f"synth: {time.time()-t0:.1f}s")
+    print(f"synth: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
     w_dev = L.pack(w)
     w_dev.block_until_ready()
-    print(f"pack w (host codec + upload): {time.time()-t0:.1f}s")
+    print(f"pack w (host codec + upload): {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    wiring = build_wiring(add_gates, mult_gates, n)
+    jax.block_until_ready(wiring)
+    print(f"build_wiring (once per circuit): {time.time()-t0:.1f}s",
+          flush=True)
 
     t0 = time.time()
     prove_layer_sumcheck_fused(z, w, add_gates, mult_gates, k_cur, k,
                                struct, Mimc7(), w_dev=w_dev,
-                               use_pallas=use_pallas)
-    print(f"warmup (compiles): {time.time()-t0:.1f}s")
+                               use_pallas=use_pallas, wiring=wiring)
+    print(f"warmup (compiles): {time.time()-t0:.1f}s", flush=True)
 
     for rep in range(3):
         t0 = time.time()
         prove_layer_sumcheck_fused(z, w, add_gates, mult_gates, k_cur, k,
                                    struct, Mimc7(), w_dev=w_dev,
-                                   use_pallas=use_pallas)
+                                   use_pallas=use_pallas, wiring=wiring)
         dt = time.time() - t0
-        print(f"run {rep}: {dt*1000:.0f} ms -> {n/dt:,.0f} gates/s")
+        print(f"run {rep}: {dt*1000:.0f} ms -> {n/dt:,.0f} gates/s",
+              flush=True)
 
 
 if __name__ == "__main__":

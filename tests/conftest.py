@@ -15,9 +15,10 @@ import jax  # noqa: E402
 if "cpu" not in jax.config.jax_platforms.split(",")[0]:
     jax.config.update("jax_platforms", "cpu")
 
-# Amortize XLA CPU compiles (the MiMC scan programs and per-shape sumcheck
-# programs) across test runs on the same machine.
-_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache on CPU: XLA:CPU persists AOT-compiled
+# machine code whose recorded target features (including tuning
+# pseudo-features like +prefer-no-scatter) never match the loader's host
+# feature set, so every reload warns about possible SIGILL — and a stale
+# entry really did segfault the suite inside the first sharded program.
+# CPU compiles here are cheap; the TPU-side scripts keep their own cache
+# (the TPU plugin serializes portable executables, not host machine code).

@@ -181,3 +181,32 @@ def test_jax_backend_legacy_engine_matches_host():
                                                  tail_threshold=1,
                                                  fused=False))
     assert_proofs_identical(p_host, p_jax)
+
+
+def test_sparse_from_dense_device_parity():
+    """JaxBackend.sparse_from_dense (device Möbius + lazy SparseMle) must
+    equal the exact host transform row-for-row, including all-zero rows."""
+    import random
+
+    from gkr_tpu.field import P
+    from gkr_tpu.jaxeng.backend import JaxBackend
+    from gkr_tpu.mle import SparseMle, sparse_from_dense
+
+    rng = random.Random(7)
+    backend = JaxBackend(host_threshold=0)
+    for k, style in ((4, "random"), (6, "sparse"), (5, "zero")):
+        n = 1 << k
+        if style == "random":
+            table = [rng.randrange(P) for _ in range(n)]
+        elif style == "sparse":
+            table = [0] * n
+            for _ in range(5):
+                table[rng.randrange(n)] = rng.randrange(P)
+        else:
+            table = [0] * n
+        got = backend.sparse_from_dense(table)
+        want = sparse_from_dense(table)
+        assert isinstance(got, SparseMle)
+        assert len(got) == len(want)
+        assert got == want
+        assert list(got) == want
