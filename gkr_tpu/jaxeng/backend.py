@@ -99,12 +99,21 @@ class JaxBackend:
         self._packed = {}
 
     def wiring(self, layer_idx, add_gates, mult_gates, n) -> LayerWiring:
+        """Circuit-static wiring plans, keyed by gate-list IDENTITY plus
+        lengths and table size.  Gate lists are treated as immutable once a
+        layer is proved — mutating a layer's gate lists in place between
+        proofs of the same Circuit object is unsupported (the extra length
+        key below catches the append/remove case, but an in-place element
+        overwrite on the same list object is undetectable without hashing
+        every gate; build a fresh Circuit instead)."""
         ent = self._wiring.get(layer_idx)
         if (ent is not None and ent[0] is add_gates and ent[1] is mult_gates
-                and ent[3] == n):
+                and ent[3] == n
+                and ent[4] == (len(add_gates), len(mult_gates))):
             return ent[2]
         w = build_wiring(add_gates, mult_gates, n)
-        self._wiring[layer_idx] = (add_gates, mult_gates, w, n)
+        self._wiring[layer_idx] = (add_gates, mult_gates, w, n,
+                                   (len(add_gates), len(mult_gates)))
         return w
 
     def packed(self, layer_idx: int, w_values) -> jnp.ndarray:

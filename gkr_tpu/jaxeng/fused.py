@@ -430,7 +430,9 @@ def prove_layer_sumcheck_fused(
         coeffs = shape_coeffs(full, sched[j - 1])
         proof.append(coeffs)
         r = transcript.multi_hash(coeffs, 0)
-        assert r == rs_device[j - 1], (
-            f"device/host Fiat-Shamir divergence at round {j}")
+        if r != rs_device[j - 1]:
+            # explicit exception (not assert): must fire under python -O too
+            raise RuntimeError(
+                f"device/host Fiat-Shamir divergence at round {j}")
         challenges.append(r)
     return proof, challenges

@@ -187,6 +187,12 @@ class SparseMle:
             other = other._materialize()
         return self._materialize() == other
 
+    # defining __eq__ would otherwise set __hash__ = None; keep identity
+    # hashing (like the plain lists-of-lists this class replaces cannot be
+    # hashed at all, identity hash is strictly more permissive and is what
+    # the wiring/packed caches key on)
+    __hash__ = object.__hash__
+
     def __repr__(self):
         return f"SparseMle(k={self.k}, terms={len(self)})"
 

@@ -46,7 +46,7 @@ mesh collectives per the scaling-book recipe.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import numpy as np
 
@@ -103,6 +103,17 @@ class ShardedSumcheck:
         self.D = mesh.devices.size
         assert self.D & (self.D - 1) == 0, "mesh size must be a power of two"
         self.log_d = self.D.bit_length() - 1
+        # per-instance compiled-program cache (NOT functools.lru_cache on the
+        # methods: that would key on `self` and pin every instance plus its
+        # compiled shard_map programs for process lifetime)
+        self._progs: dict = {}
+
+    def _cached(self, key, make):
+        prog = self._progs.get(key)
+        if prog is None:
+            prog = make()
+            self._progs[key] = prog
+        return prog
 
     # ------------------------------------------------------------ partitions
 
@@ -128,8 +139,10 @@ class ShardedSumcheck:
 
     # ------------------------------------------------------- program factory
 
-    @lru_cache(maxsize=None)
     def _build1(self):
+        return self._cached("build1", self._make_build1)
+
+    def _make_build1(self):
         D = self.D
 
         def f(w_full, eqz, ga, ma, gm, mm):
@@ -157,8 +170,10 @@ class ShardedSumcheck:
                       PSpec("x"), PSpec("x")),
             out_specs=PSpec("x"), check_vma=False))
 
-    @lru_cache(maxsize=None)
     def _build2(self, k: int):
+        return self._cached(("build2", k), lambda: self._make_build2(k))
+
+    def _make_build2(self, k: int):
         """Phase-2 build: gates partitioned by right mod D, eq(b*) factored
         into eq_hi (rows) * eq_lo (D)."""
         D, ld = self.D, self.log_d
@@ -197,8 +212,11 @@ class ShardedSumcheck:
                       PSpec("x"), PSpec("x"), PSpec("x"), PSpec("x")),
             out_specs=PSpec("x"), check_vma=False))
 
-    @lru_cache(maxsize=None)
     def _round(self, sched_len: int, phase: int):
+        return self._cached(("round", sched_len, phase),
+                            lambda: self._make_round(sched_len, phase))
+
+    def _make_round(self, sched_len: int, phase: int):
         """One sumcheck round: local eval, one psum, replicated interp +
         MiMC + local fold.  Compiled once per (local size, sched, phase)."""
 
@@ -216,8 +234,11 @@ class ShardedSumcheck:
             f, mesh=self.mesh, in_specs=(PSpec("x"), PSpec()),
             out_specs=(PSpec("x"), PSpec(), PSpec()), check_vma=False))
 
-    @lru_cache(maxsize=None)
     def _tail(self, scheds: tuple[int, ...], phase: int):
+        return self._cached(("tail", scheds, phase),
+                            lambda: self._make_tail(scheds, phase))
+
+    def _make_tail(self, scheds: tuple[int, ...], phase: int):
         """Final log2(D) rounds over the gathered (D, t, 16) residual —
         one compiled program, fully replicated compute."""
 
@@ -292,7 +313,7 @@ class ShardedSumcheck:
         gm1, mm1 = part(mult_gates, 1)
 
         S1 = self._build1()(w_dev, eqz, ga1, ma1, gm1, mm1)
-        dummy = jnp.zeros((4, 16), jnp.uint32)
+        dummy = jax.device_put(jnp.zeros((4, 16), jnp.uint32), rep)
         rows1, rs1, cs1, rst1, fin1 = self._run_phase(S1, 1, k, sched, 1,
                                                       dummy)
 
@@ -322,8 +343,10 @@ class ShardedSumcheck:
             coeffs = shape_coeffs(full, sched[j - 1])
             proof.append(coeffs)
             r = transcript.multi_hash(coeffs, 0)
-            assert r == rs_device[j - 1], (
-                f"device/host Fiat-Shamir divergence at round {j}")
+            if r != rs_device[j - 1]:
+                # explicit exception (not assert): fires under python -O too
+                raise RuntimeError(
+                    f"device/host Fiat-Shamir divergence at round {j}")
             challenges.append(r)
         return proof, challenges
 
