@@ -140,13 +140,13 @@ def run_device(k: int):
 
     b1 = tt(lambda: F._build_phase1(w_dev, z_dev, wiring, (na, nm), n,
                                     pallas_build))
-    S1, wa, wm = F._build_phase1(w_dev, z_dev, wiring, (na, nm), n,
-                                 pallas_build)
+    S1, eqz = F._build_phase1(w_dev, z_dev, wiring, (na, nm), n,
+                              pallas_build)
     import jax.numpy as jnp
     from gkr_tpu.field import P as _P
     b_star = jnp.stack([L.pack_scalar(rng.randrange(_P)) for _ in range(k)])
     wb = L.pack_scalar(rng.randrange(_P))
-    b2 = tt(lambda: F._build_phase2(w_dev, b_star, wb, wa, wm, wiring,
+    b2 = tt(lambda: F._build_phase2(w_dev, b_star, wb, eqz, wiring,
                                     (na, nm), n, pallas_build))
 
     # standalone Pallas mont_mul peak (compute speed-of-light proxy)

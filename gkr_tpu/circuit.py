@@ -94,12 +94,36 @@ class GKRCircuit:
         zc = point[:kc]
         bb = point[kc:kc + kn]
         cc = point[kc + kn:]
+        n_gates = len(layer.add_gates) + len(layer.mult_gates)
+
+        def lookup(coords):
+            # shared per-coordinate eq-product evaluator: full table by
+            # doubling (2*2^k muls) when the gate list is dense, else a
+            # lazy memo (k muls per DISTINCT label) — exact either way,
+            # ~k x cheaper than per-gate products on wide layers.
+            k = len(coords)
+            if n_gates * max(k - 1, 1) > (1 << (k + 1)):
+                tbl = [1]
+                for x in coords:
+                    xc = (1 - x) % P
+                    tbl = [t * f % P for t in tbl for f in (xc, x)]
+                return tbl.__getitem__
+            memo: dict[int, int] = {}
+
+            def get(label: int) -> int:
+                v = memo.get(label)
+                if v is None:
+                    v = eq_bits(coords, label)
+                    memo[label] = v
+                return v
+            return get
+
+        eq_z, eq_b, eq_c = lookup(zc), lookup(bb), lookup(cc)
 
         def acc(gates):
             total = 0
             for (o, l, r) in gates:
-                term = eq_bits(zc, o) * eq_bits(bb, l) % P * eq_bits(cc, r) % P
-                total = (total + term) % P
+                total = (total + eq_z(o) * eq_b(l) % P * eq_c(r)) % P
             return total
 
         return acc(layer.add_gates), acc(layer.mult_gates)

@@ -93,7 +93,9 @@ def cmd_prove_native(args) -> int:
         with open(path) as f:
             inputs.append(json.load(f))
     proofs = prove_all_native(fn, inputs, backend=_get_backend(args.backend),
-                              export_final=args.export)
+                              export_final=args.export,
+                              full_fs=not args.weak_gadget,
+                              recombination=not args.weak_gadget)
     print(f"native aggregation complete: {len(proofs)} final subcircuit "
           f"proof(s) over {len(inputs)} inputs")
     if args.export:
@@ -135,6 +137,13 @@ def main(argv=None) -> int:
     p.add_argument("-i", "--inputs", nargs="+", required=True)
     p.add_argument("--export", default=None)
     p.add_argument("--backend", default="host", choices=["host", "jax"])
+    p.add_argument("--weak-gadget", action="store_true",
+                   help="embed the reference-parity WEAK verifier gadget "
+                        "(free Fiat-Shamir inputs, no wiring recombination "
+                        "- verifier.circom:22-29) instead of the default "
+                        "full-strength gadget; ~100x smaller rounds, the "
+                        "soundness of the recursion then rests on the final "
+                        "round's host verification only")
     p.set_defaults(fn=cmd_prove_native)
 
     args = ap.parse_args(argv)

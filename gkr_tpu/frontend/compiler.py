@@ -251,10 +251,16 @@ def _layerize(one_circuit: list[Node]):
     return layers, inputs
 
 
-def compile_nodes(groups: list[list[Node]]):
-    """convert.rs:154-358 `compile`: width-merge then layerize."""
+def compile_nodes(groups: list[list[Node]], width_limit: int = WIDTH_LIMIT):
+    """convert.rs:154-358 `compile`: width-merge then layerize.
+
+    `width_limit` caps the number of independent subcircuits (reference
+    default 20 = convert.rs:11).  Recursive aggregation passes 1: every
+    extra subcircuit proof costs the NEXT round a full verifier gadget
+    whose size scales with proof depth, so small subcircuits multiply the
+    embedded-verifier cost ~(#subcircuits)x while saving almost nothing."""
     gs = sorted(groups, key=lambda g: max(n.depth for n in g))  # stable sort
-    while len(gs) > WIDTH_LIMIT:
+    while len(gs) > width_limit:
         new = []
         for i in range(len(gs) // 2):
             new.append(gs[2 * i] + gs[2 * i + 1])
@@ -303,7 +309,8 @@ def _input_values(input_nodes: list[Node], witness: list[int]) -> list[int]:
 
 
 def compile_r1cs_to_gkr(r1cs, wtns, sym_names: list[str] | None = None,
-                        check: bool = True):
+                        check: bool = True,
+                        width_limit: int = WIDTH_LIMIT):
     """Full frontend (convert.rs:667-785 `convert_r1cs_wtns_gkr`):
     returns (circuits, w_values_list, public_outputs).
 
@@ -315,7 +322,7 @@ def compile_r1cs_to_gkr(r1cs, wtns, sym_names: list[str] | None = None,
     witness = [v % P for v in wtns.values]
 
     groups = convert_constraints_to_nodes(r1cs.constraints)
-    ir_list, input_list = compile_nodes(groups)
+    ir_list, input_list = compile_nodes(groups, width_limit=width_limit)
 
     circuits = []
     w_values_list = []

@@ -38,6 +38,28 @@ def _nonzero_bitmap(C):
 
 
 @jax.jit
+def _struct_scalars(C):
+    """Reduce the Möbius coefficient table to the MleStruct ingredients ON
+    DEVICE: (k,) support bits (MSB-first), max popcount over nonzero
+    indices, and emptiness — k+2 scalars instead of the (n,) bitmap (a
+    1 MB download per 2^20 layer on a tunneled host)."""
+    n = C.shape[0]
+    k = n.bit_length() - 1
+    nz = jnp.any(C != 0, axis=-1)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    sup = jnp.stack([jnp.any(nz & (((idx >> (k - 1 - j)) & 1) == 1))
+                     for j in range(k)]) if k else jnp.zeros((0,), bool)
+    # SWAR popcount (n < 2^32)
+    v = idx
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    pop = (v * jnp.uint32(0x01010101)) >> 24
+    maxdeg = jnp.max(jnp.where(nz, pop, jnp.uint32(0)))
+    return sup, maxdeg, jnp.any(nz)
+
+
+@jax.jit
 def _from_mont(C):
     """(xR) limbs -> canonical x limbs: one REDC (divide by R)."""
     return L._redc(L._pad_last(C, 0, 16))
@@ -57,19 +79,6 @@ def _multi_point_fold(W, pts):
         r = jnp.broadcast_to(pts[:, j][:, None, :], diff.shape)
         T = L.add_mod(lo, L.mont_mul(diff, r))
     return T[:, 0]
-
-
-def _struct_from_bitmap(nz: np.ndarray, k: int) -> MleStruct:
-    idx = np.nonzero(nz)[0]
-    if idx.size == 0:
-        return MleStruct(k, True, [False] * k, 0)
-    support = [bool(((idx >> (k - 1 - j)) & 1).any()) for j in range(k)]
-    pop = np.zeros_like(idx)
-    v = idx.copy()
-    while v.any():
-        pop += v & 1
-        v >>= 1
-    return MleStruct(k, False, support, int(pop.max()))
 
 
 class JaxBackend:
@@ -130,8 +139,11 @@ class JaxBackend:
         if self._use_host(k):
             return mle_struct(w_values)
         W = self.packed(layer_idx, w_values) if layer_idx is not None else L.pack(w_values)
-        nz = np.asarray(jax.device_get(_nonzero_bitmap(_mobius_dev(W))))
-        return _struct_from_bitmap(nz, k)
+        sup, maxdeg, any_nz = jax.device_get(_struct_scalars(_mobius_dev(W)))
+        if not bool(any_nz):
+            return MleStruct(k, True, [False] * k, 0)
+        return MleStruct(k, False, [bool(x) for x in np.asarray(sup)],
+                         int(maxdeg))
 
     def layer_sumcheck(self, z, w_next, add_gates, mult_gates,
                        k_cur, k_next, w_struct, transcript,

@@ -60,7 +60,9 @@ from . import limbs as L
 from . import mimc_dev as MD
 
 INV2_MONT = L.pack_scalar(pow(2, P - 2, P))
-MAX_GATES = 1 << 23          # split-limb cumsum headroom bound
+SEG_CHUNK = 1 << 24          # wrap-exactness bound of one 8+8-split cumsum
+MAX_GATES = 1 << 30          # int32 gate indexing (chunking removes the
+                             # old 2^23 split-limb headroom wall)
 PALLAS_MIN = 1 << 16         # smallest table size routed to Pallas kernels
 
 
@@ -73,43 +75,114 @@ def _pallas_platform() -> bool:
 
 # ----------------------------------------------------------- segment build
 
+def _seg_recombine(seg):
+    """(n, 32) wrap-exact uint32 column sums (lo 8-bit parts in [:16], hi
+    8-bit parts in [16:], each true value < 2^32) -> (n, 18) RELAXED
+    base-2^16 limbs, each < 5 * 2^16.  value = sum lo[i] 2^16i
+    + 2^8 sum hi[i] 2^16i, re-expressed limb-exactly."""
+    lo = seg[:, :16]
+    hi = seg[:, 16:32]
+    l0 = lo & jnp.uint32(0xFFFF)                      # -> limb i
+    l1 = lo >> 16                                     # -> limb i+1
+    h0 = (hi & jnp.uint32(0xFF)) << 8                 # -> limb i
+    h1 = (hi >> 8) & jnp.uint32(0xFFFF)               # -> limb i+1
+    h2 = (hi >> 24) << 8                              # -> limb i+1
+    return (L._pad_last(l0 + h0, 0, 2)
+            + L._pad_last(l1 + h1 + h2, 1, 1))
+
+
 def _seg_build_planned(perm, hi_b, weights, n):
     """Segment-sum scatter replacement given a PRECOMPUTED plan.
 
     perm: (G,) int32 stable-sort permutation of the gate list by bucket id;
     hi_b: (n,) int32 with hi_b[b] = #gates whose bucket id is <= b (i.e.
     searchsorted(sorted_keys, b, side='right')).  weights: list of (G, 16)
-    canonical Montgomery limb arrays.  Returns one (n, 17) RELAXED
-    base-2^16 limb table per weight array (limbs < 2^30), such that
+    canonical Montgomery limb arrays.  Returns one (n, 18) RELAXED
+    base-2^16 limb table per weight array (limbs < 2^31), such that
     normalize(T)[b] = sum_{g: keys_g == b} w_g.
+
+    Exactness: each 16-bit limb is split into 8+8-bit columns, cumsum'd in
+    wrapping uint32.  A difference of wrapped cumsums equals the true range
+    sum whenever that sum < 2^32; one bucket sums at most G values < 2^8,
+    so ranges of up to SEG_CHUNK = 2^24 gates are exact.  Larger gate lists
+    take ceil(G / 2^24) clipped-boundary passes over the SAME cumsum (no
+    recompute), accumulating per-chunk relaxed limbs (< 5 * 2^16 each, so
+    up to 2^12 chunks = 2^36 gates before relaxed overflow; MAX_GATES caps
+    at 2^30 for int32 indexing).  This removes the round-2 2^23 wall
+    (VERDICT.md missing #3) and makes BASELINE.md's 2^24 config reachable.
 
     The plan depends only on the wiring (not on z or the witness), so it is
     computed once per layer on the host and cached (LayerWiring).
     """
-    G = perm.shape[0]
-    assert G <= MAX_GATES, "gate list too large for split-limb cumsum"
-    cols = []
-    for w in weights:
-        ws = w[perm]
-        cols.append(ws & jnp.uint32(0xFF))
-        cols.append(ws >> 8)
-    allc = jnp.concatenate(cols, axis=1)                  # (G, 32 * len)
-    C = jnp.cumsum(allc, axis=0, dtype=jnp.uint32)
-    Cz = jnp.concatenate([jnp.zeros((1, C.shape[1]), jnp.uint32), C], axis=0)
-    t_hi = Cz[hi_b]                                       # (n, 32 * len)
-    t_prev = jnp.concatenate(
-        [jnp.zeros((1, C.shape[1]), jnp.uint32), t_hi[:-1]], axis=0)
-    seg = t_hi - t_prev                                   # exact per bucket
+    return _seg_sorted(hi_b, [w[perm] for w in weights], n)
+
+
+def _seg_recombine_T(seg):
+    """Transposed-layout _seg_recombine: (32, n) -> (18, n) relaxed limbs."""
+    lo = seg[:16]
+    hi = seg[16:32]
+    l0 = lo & jnp.uint32(0xFFFF)
+    l1 = lo >> 16
+    h0 = (hi & jnp.uint32(0xFF)) << 8
+    h1 = (hi >> 8) & jnp.uint32(0xFFFF)
+    h2 = (hi >> 24) << 8
+    pad = lambda x, b, a: jnp.pad(x, ((b, a), (0, 0)))  # noqa: E731
+    return pad(l0 + h0, 0, 2) + pad(l1 + h1 + h2, 1, 1)
+
+
+def _seg_sorted_T(hi_b, weights_T, n):
+    """Segment-sum over (16, G) weights ALREADY SORTED by bucket key ->
+    (18, n) relaxed tables feeding pl_normalize_T with no transposes.
+    Same chunked wrap-exactness argument as _seg_build_planned; sorting is
+    pre-applied on the host (LayerWiring carries pre-permuted index
+    arrays), saving one 64 MB random gather per table (~8 ms at 2^20)."""
+    G = weights_T[0].shape[-1]
+    assert G <= MAX_GATES, "gate list exceeds int32 indexing cap"
+    nch = max(1, -(-G // SEG_CHUNK))
+    lo_b = jnp.concatenate(
+        [jnp.zeros((1,), hi_b.dtype), hi_b[:-1]], axis=0)
     out = []
-    for ti in range(len(weights)):
-        lo = seg[:, 32 * ti:32 * ti + 16]                 # < 2^29
-        hi = seg[:, 32 * ti + 16:32 * ti + 32]            # < 2^29
-        # value = sum lo[i]*2^16i + 2^8 * sum hi[i]*2^16i; re-express as
-        # 17 relaxed base-2^16 limbs (each < 2^30).
-        a = (hi & jnp.uint32(0xFF)) << 8
-        b = hi >> 8
-        out.append(L._pad_last(lo, 0, 1) + L._pad_last(a, 0, 1)
-                   + L._pad_last(b, 1, 0))
+    for ws in weights_T:
+        allc = jnp.concatenate(
+            [ws & jnp.uint32(0xFF), ws >> 8], axis=0)     # (32, G)
+        C = jnp.cumsum(allc, axis=1, dtype=jnp.uint32)    # wrapping
+        Cz = jnp.concatenate(
+            [jnp.zeros((32, 1), jnp.uint32), C], axis=1)
+        acc = None
+        for c in range(nch):
+            s, e = c * SEG_CHUNK, min((c + 1) * SEG_CHUNK, G)
+            hi_c = jnp.clip(hi_b, s, e)
+            lo_c = jnp.clip(lo_b, s, e)
+            seg = Cz[:, hi_c] - Cz[:, lo_c]               # exact per chunk
+            rel = _seg_recombine_T(seg)
+            acc = rel if acc is None else acc + rel
+        out.append(acc)
+    return out
+
+
+def _seg_sorted(hi_b, weights, n):
+    """Row-layout _seg_sorted_T: (G, 16) sorted weights -> (n, 18)."""
+    G = weights[0].shape[0]
+    assert G <= MAX_GATES, "gate list exceeds int32 indexing cap"
+    nch = max(1, -(-G // SEG_CHUNK))
+    lo_b = jnp.concatenate(
+        [jnp.zeros((1,), hi_b.dtype), hi_b[:-1]], axis=0)
+    out = []
+    for ws in weights:
+        allc = jnp.concatenate(
+            [ws & jnp.uint32(0xFF), ws >> 8], axis=1)     # (G, 32)
+        C = jnp.cumsum(allc, axis=0, dtype=jnp.uint32)    # wrapping
+        Cz = jnp.concatenate(
+            [jnp.zeros((1, 32), jnp.uint32), C], axis=0)
+        acc = None
+        for c in range(nch):
+            s, e = c * SEG_CHUNK, min((c + 1) * SEG_CHUNK, G)
+            hi_c = jnp.clip(hi_b, s, e)
+            lo_c = jnp.clip(lo_b, s, e)
+            seg = Cz[hi_c] - Cz[lo_c]                     # exact per chunk
+            rel = _seg_recombine(seg)
+            acc = rel if acc is None else acc + rel
+        out.append(acc)
     return out
 
 
@@ -130,115 +203,157 @@ def _seg_build(keys, weights, n):
 
 
 class LayerWiring(NamedTuple):
-    """Per-layer wiring-derived device arrays: gate columns plus the
-    segment-sum plans (sort permutation + bucket boundaries) for both
-    phases.  Depends only on the circuit wiring — computed once per layer
-    on the host (numpy argsort/searchsorted) and reused for every proof of
-    that circuit, mirroring the reference's once-per-circuit wiring-MLE
-    construction (rust/src/convert.rs:715-776)."""
-    add_olr: jnp.ndarray      # (3, Gp) int32 [out, left, right]
-    mult_olr: jnp.ndarray
-    a1_perm: jnp.ndarray      # phase-1 plans (keyed by left)
-    a1_hib: jnp.ndarray
-    m1_perm: jnp.ndarray
+    """Per-layer wiring-derived device arrays: PRE-PERMUTED gate index
+    columns plus segment boundaries for both phases.  For each phase the
+    gate triples are sorted host-side by that phase's bucket key (left for
+    phase 1, right for phase 2) and the companion index columns are stored
+    already permuted, so the device never re-gathers gate weights by a
+    sort permutation (a 64 MB random gather per table at 2^20).  Padding
+    gates carry key = n, sorting past every bucket boundary — no masking
+    needed anywhere.  Depends only on the circuit wiring — computed once
+    per layer on the host and reused for every proof of that circuit,
+    mirroring the reference's once-per-circuit wiring-MLE construction
+    (rust/src/convert.rs:715-776)."""
+    a1_out: jnp.ndarray       # phase 1 (keyed by left): out idx, sorted
+    a1_in: jnp.ndarray        # right idx (W gather), sorted
+    a1_hib: jnp.ndarray       # bucket boundaries
+    m1_out: jnp.ndarray
+    m1_in: jnp.ndarray
     m1_hib: jnp.ndarray
-    a2_perm: jnp.ndarray      # phase-2 plans (keyed by right)
+    a2_out: jnp.ndarray       # phase 2 (keyed by right): out idx, sorted
+    a2_l: jnp.ndarray         # left idx (eq(b*) gather), sorted
     a2_hib: jnp.ndarray
-    m2_perm: jnp.ndarray
+    m2_out: jnp.ndarray
+    m2_l: jnp.ndarray
     m2_hib: jnp.ndarray
 
 
 def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
-    """Host-side wiring precompute: pad gate columns to a power of two and
-    derive the sort/boundary plans for both phase keys."""
+    """Host-side wiring precompute: pad gate columns to a power of two
+    (pad key = n, out of every bucket range) and pre-sort the index
+    columns by each phase's key."""
     parts = {}
     for name, gates in (("a", add_gates), ("m", mult_gates)):
         gp = _pad_pow2(len(gates))
         g = np.zeros((3, gp), dtype=np.int32)
         if gates:
             g[:, :len(gates)] = np.asarray(gates, dtype=np.int32).T
-        parts[name + "_olr"] = jnp.asarray(g)
-        for phase, col in ((1, 1), (2, 2)):
-            keys = g[col]
-            perm = np.argsort(keys, kind="stable").astype(np.int32)
+        for phase, keycol, othercol, oname in ((1, 1, 2, "in"),
+                                               (2, 2, 1, "l")):
+            keys = g[keycol].copy()
+            keys[len(gates):] = n                  # padding: beyond buckets
+            perm = np.argsort(keys, kind="stable")
             sk = keys[perm]
             hib = np.searchsorted(
-                sk, np.arange(n, dtype=np.int32), side="right"
+                sk, np.arange(n, dtype=np.int64), side="right"
             ).astype(np.int32)
-            parts[f"{name}{phase}_perm"] = jnp.asarray(perm)
+            parts[f"{name}{phase}_out"] = jnp.asarray(
+                g[0][perm].astype(np.int32))
+            parts[f"{name}{phase}_{oname}"] = jnp.asarray(
+                g[othercol][perm].astype(np.int32))
             parts[f"{name}{phase}_hib"] = jnp.asarray(hib)
     return LayerWiring(
-        add_olr=parts["a_olr"], mult_olr=parts["m_olr"],
-        a1_perm=parts["a1_perm"], a1_hib=parts["a1_hib"],
-        m1_perm=parts["m1_perm"], m1_hib=parts["m1_hib"],
-        a2_perm=parts["a2_perm"], a2_hib=parts["a2_hib"],
-        m2_perm=parts["m2_perm"], m2_hib=parts["m2_hib"])
+        a1_out=parts["a1_out"], a1_in=parts["a1_in"], a1_hib=parts["a1_hib"],
+        m1_out=parts["m1_out"], m1_in=parts["m1_in"], m1_hib=parts["m1_hib"],
+        a2_out=parts["a2_out"], a2_l=parts["a2_l"], a2_hib=parts["a2_hib"],
+        m2_out=parts["m2_out"], m2_l=parts["m2_l"], m2_hib=parts["m2_hib"])
 
 
-def _masked_weights(eqz, out_idx, count):
-    """eq(z, out_g) per gate, zeroed beyond the true gate count."""
-    G = out_idx.shape[0]
-    mask = jnp.arange(G, dtype=jnp.int32) < count
-    return jnp.where(mask[:, None], eqz[out_idx], jnp.uint32(0))
+MUL_PALLAS_MIN = 1 << 10     # smallest (16, G) routed to the Pallas mul
+
+
+def _mmul_T(aT, bT):
+    """Montgomery product in (16, G) layout; Pallas above MUL_PALLAS_MIN
+    (the XLA lowering costs ~42 ms per 2^20 muls, the kernel ~0.6 ms)."""
+    from . import pallas_kernels as PK
+    if aT.shape[-1] >= MUL_PALLAS_MIN:
+        return PK.pl_mont_mul_T(aT, bT)
+    return L.mont_mul(aT.T, bT.T).T
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     """Upload-once phase-1 prep: eqz + the HA1/HA2 (add) and HM (mult)
     tables, stacked with W into the round stack — (n, 4, 16) row layout,
-    or (4, 16, n) limb-on-sublane layout when `pallas` (normalization then
-    runs in the in-VMEM Pallas kernel instead of the ~170 ms XLA REDC)."""
+    or (4, 16, n) limb-on-sublane layout when `pallas`.  On the Pallas path
+    every Montgomery multiply, the eq-table build, and the normalization
+    run in VMEM kernels; XLA keeps only the (pre-permuted, one-per-table)
+    gathers, the cumsum, and the bit-plumbing (its lowering of the limb
+    REDC chain is the round-2 build bottleneck: ~42 ms per 2^20 muls vs
+    ~0.6 ms in-kernel).  Returns (S1, eqz) — the eq(z) table is reused by
+    the phase-2 build."""
     na, nm = counts
+    if pallas:
+        from . import pallas_kernels as PK
+        w_T = w_dev.T
+        eqz_T = PK.pl_eq_table_T(z_dev)
+        zt = jnp.zeros((16, n), jnp.uint32)
+        if na:
+            wa = eqz_T[:, wiring.a1_out]
+            prod_a = _mmul_T(wa, w_T[:, wiring.a1_in])
+            ha1_rel, ha2_rel = _seg_sorted_T(
+                wiring.a1_hib, [wa, prod_a], n)
+            ha1 = PK.pl_normalize_T(ha1_rel)
+            ha2 = PK.pl_normalize_T(ha2_rel)
+        else:
+            ha1 = ha2 = zt
+        if nm:
+            wm = eqz_T[:, wiring.m1_out]
+            prod_m = _mmul_T(wm, w_T[:, wiring.m1_in])
+            (hm_rel,) = _seg_sorted_T(wiring.m1_hib, [prod_m], n)
+            hm = PK.pl_normalize_T(hm_rel)
+        else:
+            hm = zt
+        S1 = jnp.stack([w_T, ha1, ha2, hm])              # (4, 16, n)
+        return S1, eqz_T
     eqz = L.eq_table_device(z_dev)
-    if pallas:
-        from . import pallas_kernels as PK
     if na:
-        wa = _masked_weights(eqz, wiring.add_olr[0], na)
-        prod_a = L.mont_mul(wa, w_dev[wiring.add_olr[2]])
-        ha1_rel, ha2_rel = _seg_build_planned(
-            wiring.a1_perm, wiring.a1_hib, [wa, prod_a], n)
+        wa = eqz[wiring.a1_out]
+        prod_a = L.mont_mul(wa, w_dev[wiring.a1_in])
+        ha1_rel, ha2_rel = _seg_sorted(wiring.a1_hib, [wa, prod_a], n)
     if nm:
-        wm = _masked_weights(eqz, wiring.mult_olr[0], nm)
-        prod_m = L.mont_mul(wm, w_dev[wiring.mult_olr[2]])
-        (hm_rel,) = _seg_build_planned(
-            wiring.m1_perm, wiring.m1_hib, [prod_m], n)
-    if pallas:
-        zt = jnp.zeros((16, n), jnp.uint32)
-        ha1 = PK.pl_normalize_T(ha1_rel.T) if na else zt
-        ha2 = PK.pl_normalize_T(ha2_rel.T) if na else zt
-        hm = PK.pl_normalize_T(hm_rel.T) if nm else zt
-        S1 = jnp.stack([w_dev.T, ha1, ha2, hm])          # (4, 16, n)
-    else:
-        zeros = jnp.zeros((n, 16), jnp.uint32)
-        ha1 = L.normalize_relaxed(ha1_rel) if na else zeros
-        ha2 = L.normalize_relaxed(ha2_rel) if na else zeros
-        hm = L.normalize_relaxed(hm_rel) if nm else zeros
-        S1 = jnp.stack([w_dev, ha1, ha2, hm], axis=1)    # (n, 4, 16)
-    dummy = jnp.zeros((1, 16), jnp.uint32)
-    return S1, (wa if na else dummy), (wm if nm else dummy)
+        wm = eqz[wiring.m1_out]
+        prod_m = L.mont_mul(wm, w_dev[wiring.m1_in])
+        (hm_rel,) = _seg_sorted(wiring.m1_hib, [prod_m], n)
+    zeros = jnp.zeros((n, 16), jnp.uint32)
+    ha1 = L.normalize_relaxed(ha1_rel) if na else zeros
+    ha2 = L.normalize_relaxed(ha2_rel) if na else zeros
+    hm = L.normalize_relaxed(hm_rel) if nm else zeros
+    S1 = jnp.stack([w_dev, ha1, ha2, hm], axis=1)        # (n, 4, 16)
+    return S1, eqz
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
-def _build_phase2(w_dev, b_star, wb, wa, wm, wiring, counts, n, pallas=False):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
     """Phase-2 prep: eq(b*) table + the FA and FM*W~(b*) tables, stacked
-    with W — layouts as in _build_phase1."""
+    with W — layouts as in _build_phase1 (`eqz` arrives in the matching
+    layout: (16, 2^kc) when pallas, (2^kc, 16) otherwise)."""
     na, nm = counts
-    eqb = L.eq_table_device(b_star)
     if pallas:
         from . import pallas_kernels as PK
-    if na:
-        wa2 = L.mont_mul(wa, eqb[wiring.add_olr[1]])
-        (fa_rel,) = _seg_build_planned(
-            wiring.a2_perm, wiring.a2_hib, [wa2], n)
-    if nm:
-        wm2 = L.mont_mul(wm, eqb[wiring.mult_olr[1]])
-        (fm_rel,) = _seg_build_planned(
-            wiring.m2_perm, wiring.m2_hib, [wm2], n)
-    if pallas:
+        w_T = w_dev.T
+        eqb_T = PK.pl_eq_table_T(b_star)
         zt = jnp.zeros((16, n), jnp.uint32)
-        fa = PK.pl_normalize_T(fa_rel.T) if na else zt
-        fmwb = PK.pl_normalize_mul_T(fm_rel.T, wb) if nm else zt
-        return jnp.stack([w_dev.T, fa, fmwb])            # (3, 16, n)
+        if na:
+            wa2 = _mmul_T(eqz[:, wiring.a2_out], eqb_T[:, wiring.a2_l])
+            (fa_rel,) = _seg_sorted_T(wiring.a2_hib, [wa2], n)
+            fa = PK.pl_normalize_T(fa_rel)
+        else:
+            fa = zt
+        if nm:
+            wm2 = _mmul_T(eqz[:, wiring.m2_out], eqb_T[:, wiring.m2_l])
+            (fm_rel,) = _seg_sorted_T(wiring.m2_hib, [wm2], n)
+            fmwb = PK.pl_normalize_mul_T(fm_rel, wb)
+        else:
+            fmwb = zt
+        return jnp.stack([w_T, fa, fmwb])                # (3, 16, n)
+    eqb = L.eq_table_device(b_star)
+    if na:
+        wa2 = L.mont_mul(eqz[wiring.a2_out], eqb[wiring.a2_l])
+        (fa_rel,) = _seg_sorted(wiring.a2_hib, [wa2], n)
+    if nm:
+        wm2 = L.mont_mul(eqz[wiring.m2_out], eqb[wiring.m2_l])
+        (fm_rel,) = _seg_sorted(wiring.m2_hib, [wm2], n)
     zeros = jnp.zeros((n, 16), jnp.uint32)
     fa = L.normalize_relaxed(fa_rel) if na else zeros
     fm = L.normalize_relaxed(fm_rel) if nm else zeros
@@ -407,14 +522,14 @@ def prove_layer_sumcheck_fused(
         wiring = build_wiring(add_gates, mult_gates, n)
 
     pallas_build = use_pallas and n >= PALLAS_MIN
-    S1, wa, wm = _build_phase1(w_dev, z_dev, wiring,
-                               (na, nm), n, pallas_build)
+    S1, eqz = _build_phase1(w_dev, z_dev, wiring,
+                            (na, nm), n, pallas_build)
     S1, rows1, rs1 = _run_phase(S1, 1, k, sched, use_pallas,
                                 in_T=pallas_build)
     wb = S1[0, 0]
 
     b_star = _stack3(rs1)
-    S2 = _build_phase2(w_dev, b_star, wb, wa, wm, wiring,
+    S2 = _build_phase2(w_dev, b_star, wb, eqz, wiring,
                        (na, nm), n, pallas_build)
     _, rows2, rs2 = _run_phase(S2, k + 1, k, sched, use_pallas,
                                phase2_wb=wb, in_T=pallas_build)

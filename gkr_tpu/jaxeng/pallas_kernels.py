@@ -41,15 +41,38 @@ M16 = 0xFFFF             # python-int scalar mask (no captured constants)
 
 P_INTS = [int(x) for x in L.P_LIMBS_NP]
 NEGP_INTS = [((1 << 256) - P) >> (16 * i) & 0xFFFF for i in range(16)]
+MONT_ONE_ROW = L.MONT_ONE
 
 
 # ----------------------------------------------- (..., 16, n) layout math
 # Mosaic has no scatter lowering, so all limb math is written over LISTS of
 # row vectors (one (..., n) array per limb) with plain adds; rows are
 # stacked only at kernel output.
+#
+# CRITICAL LAYOUT RULE (measured 8.2x, round 3): a row must be at least
+# 2-D with >= 8 sublanes.  A 1-D (n,) row is laid out on ONE sublane of
+# each (8, 128) vreg, so every op wastes 7/8 of the VPU.  Kernels reshape
+# each (n,) limb row to (8, n/8) before doing math (`_r8`), which packs
+# the row densely across sublanes; the reshape is a no-op relayout hint
+# Mosaic resolves at register-allocation time, not a data shuffle per op.
 
 def _rows(x):
     return [x[..., i, :] for i in range(16)]
+
+
+def _r8(x):
+    """(..., k, n) -> (..., k, 8, n/8): sublane-dense view for VPU math.
+
+    Mosaic rejects reshaping a row EXTRACTED from a larger block (the
+    relayout constraint is lost); reshaping the whole block before slicing
+    is accepted, so callers reshape first and then slice rows out."""
+    return x.reshape(*x.shape[:-1], 8, x.shape[-1] // 8)
+
+
+def _rows8(x):
+    """(..., 16, n) -> 16 sublane-dense rows of (..., 8, n/8)."""
+    y = _r8(x)
+    return [y[..., i, :, :] for i in range(16)]
 
 
 def _carry_rows(rows):
@@ -125,8 +148,9 @@ def _mmul_rows(a, b):
 # ------------------------------------------------------------------ kernels
 
 def _mont_mul_kernel(a_ref, b_ref, o_ref):
-    out = _mmul_rows(_rows(a_ref[:]), _rows(b_ref[:]))
-    o_ref[:] = jnp.stack(out, axis=-2)
+    block = a_ref.shape[-1]
+    out = _mmul_rows(_rows8(a_ref[:]), _rows8(b_ref[:]))
+    o_ref[:] = jnp.stack(out, axis=-3).reshape(16, block)
 
 
 @jax.jit
@@ -153,16 +177,74 @@ def pl_mont_mul(a, b):
     return pl_mont_mul_T(a.T, b.T).T
 
 
+def _mul_scalar2_kernel(t_ref, zz_ref, o_ref):
+    """(16, block) x two SMEM scalars -> (2, 16, block): t*zz[0], t*zz[1].
+    One fused kernel per eq-table doubling step."""
+    block = t_ref.shape[-1]
+    t = _rows8(t_ref[:])
+    lo = _mmul_rows(t, [zz_ref[0, i] for i in range(16)])
+    hi = _mmul_rows(t, [zz_ref[1, i] for i in range(16)])
+    o_ref[0] = jnp.stack(lo, axis=-3).reshape(16, block)
+    o_ref[1] = jnp.stack(hi, axis=-3).reshape(16, block)
+
+
+def _eq_extend_T(t_T, zz):
+    """One eq-table doubling: (16, m), (2, 16) -> (16, 2m) with the zc-half
+    first (MSB-first order, matching limbs.eq_table_device)."""
+    m = t_T.shape[-1]
+    block = min(BLOCK, m)
+    both = pl.pallas_call(
+        _mul_scalar2_kernel,
+        grid=(m // block,),
+        in_specs=[pl.BlockSpec((16, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((2, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 16, m), jnp.uint32),
+    )(t_T, zz)
+    return jnp.concatenate([both[0], both[1]], axis=-1)
+
+
+EQ_PALLAS_MIN = 1 << 10      # rows below this stay on the XLA path
+
+
+@jax.jit
+def pl_eq_table_T(z_limbs):
+    """chi table over (k, 16) Montgomery limbs -> (16, 2^k) transposed
+    layout.  Bit-identical to limbs.eq_table_device (MSB-first); the first
+    ~10 doublings run as tiny XLA ops, the large tail as in-VMEM Pallas
+    scalar-multiply kernels (the XLA chain costs ~2 * 2^k REDCs — the
+    dominant cost of the round-2 phase-2 build at k=20)."""
+    k = z_limbs.shape[0]
+    ones = jnp.broadcast_to(MONT_ONE_ROW, (k, 16))
+    zc_all = L.sub_mod(ones, z_limbs)
+    t = jnp.broadcast_to(MONT_ONE_ROW, (1, 16))
+    j = k - 1
+    while j >= 0 and t.shape[0] < EQ_PALLAS_MIN:
+        t = jnp.concatenate([L.mul_scalar(t, zc_all[j]),
+                             L.mul_scalar(t, z_limbs[j])], axis=0)
+        j -= 1
+    t_T = t.T
+    while j >= 0:
+        zz = jnp.stack([zc_all[j], z_limbs[j]])
+        t_T = _eq_extend_T(t_T, zz)
+        j -= 1
+    return t_T
+
+
 def _fold_kernel(lo_ref, hi_ref, r_ref, o_ref):
+    tcnt, _, block = lo_ref.shape
     lo = lo_ref[:]
     hi = hi_ref[:]
     r_rows = [r_ref[0, i] for i in range(16)]       # scalars from SMEM
-    lo_r = _rows(lo)
-    hi_r = _rows(hi)
+    lo_r = _rows8(lo)                               # (tcnt, 8, block/8)
+    hi_r = _rows8(hi)
     diff = _sub_rows(hi_r, lo_r)
     prod = _mmul_rows(diff, r_rows)
     out = _add_rows(lo_r, prod)
-    o_ref[:] = jnp.stack(out, axis=-2)
+    o_ref[:] = jnp.stack(out, axis=-3).reshape(tcnt, 16, block)
 
 
 @jax.jit
@@ -207,8 +289,10 @@ def pl_fold_rep(S_T, r):
 def _phase1_eval_kernel(lo_ref, hi_ref, y_ref):
     lo = lo_ref[:]                                  # (4, 16, BN)
     hi = hi_ref[:]
-    w0, a0, h0, m0 = (_rows(lo[0]), _rows(lo[1]), _rows(lo[2]), _rows(lo[3]))
-    w1, a1, h1, m1 = (_rows(hi[0]), _rows(hi[1]), _rows(hi[2]), _rows(hi[3]))
+    w0, a0, h0, m0 = (_rows8(lo[0]), _rows8(lo[1]),
+                      _rows8(lo[2]), _rows8(lo[3]))
+    w1, a1, h1, m1 = (_rows8(hi[0]), _rows8(hi[1]),
+                      _rows8(hi[2]), _rows8(hi[3]))
     dw = _sub_rows(w1, w0)
     da = _sub_rows(a1, a0)
     dh = _sub_rows(h1, h0)
@@ -222,10 +306,10 @@ def _phase1_eval_kernel(lo_ref, hi_ref, y_ref):
             ht = _add_rows(ht, dh)
             mt = _add_rows(mt, dm)
         prod = _mmul_rows(_add_rows(at, mt), wt)
-        term = _add_rows(prod, ht)                   # 16 rows of (BN,)
+        term = _add_rows(prod, ht)                   # 16 rows of (8, BN/8)
         # Mosaic lacks unsigned reductions; block sums fit int32 exactly
         acc.append(jnp.stack([
-            jnp.sum(r.astype(jnp.int32), axis=-1).astype(jnp.uint32)
+            jnp.sum(r.astype(jnp.int32)).astype(jnp.uint32)
             for r in term]))
     y_ref[0] = jnp.stack(acc)                        # (3, 16)
 
@@ -257,8 +341,8 @@ def _phase2_eval_kernel(lo_ref, hi_ref, wb_ref, y_ref):
     lo = lo_ref[:]                                  # (3, 16, BN)
     hi = hi_ref[:]
     wb = [wb_ref[0, i] for i in range(16)]          # scalars from SMEM
-    w0, f0, g0 = _rows(lo[0]), _rows(lo[1]), _rows(lo[2])
-    w1, f1, g1 = _rows(hi[0]), _rows(hi[1]), _rows(hi[2])
+    w0, f0, g0 = _rows8(lo[0]), _rows8(lo[1]), _rows8(lo[2])
+    w1, f1, g1 = _rows8(hi[0]), _rows8(hi[1]), _rows8(hi[2])
     dw = _sub_rows(w1, w0)
     df = _sub_rows(f1, f0)
     dg = _sub_rows(g1, g0)
@@ -275,7 +359,7 @@ def _phase2_eval_kernel(lo_ref, hi_ref, wb_ref, y_ref):
         term = _add_rows(p1, p2)
         # Mosaic lacks unsigned reductions; block sums fit int32 exactly
         acc.append(jnp.stack([
-            jnp.sum(r.astype(jnp.int32), axis=-1).astype(jnp.uint32)
+            jnp.sum(r.astype(jnp.int32)).astype(jnp.uint32)
             for r in term]))
     y_ref[0] = jnp.stack(acc)
 
@@ -307,13 +391,14 @@ R2_INTS = [(R2 >> (16 * i)) & 0xFFFF for i in range(16)]
 
 
 def _normalize_kernel(t_ref, o_ref):
-    lin = t_ref.shape[-2]
-    rows = [t_ref[..., i, :] for i in range(lin)]
+    lin, block = t_ref.shape[-2], t_ref.shape[-1]
+    t8 = _r8(t_ref[:])
+    rows = [t8[..., i, :, :] for i in range(lin)]
     zero = jnp.zeros_like(rows[0])
     cols = rows + [zero] * (32 - lin)
     over_r = _redc_cols(cols)                    # value / R, canonical
     out = _mmul_rows(over_r, R2_INTS)            # * R^2 / R  = value mod p
-    o_ref[:] = jnp.stack(out, axis=-2)
+    o_ref[:] = jnp.stack(out, axis=-3).reshape(16, block)
 
 
 @jax.jit
@@ -337,15 +422,16 @@ def pl_normalize_T(t):
 
 
 def _normalize_mul_kernel(t_ref, s_ref, o_ref):
-    lin = t_ref.shape[-2]
-    rows = [t_ref[..., i, :] for i in range(lin)]
+    lin, block = t_ref.shape[-2], t_ref.shape[-1]
+    t8 = _r8(t_ref[:])
+    rows = [t8[..., i, :, :] for i in range(lin)]
     zero = jnp.zeros_like(rows[0])
     cols = rows + [zero] * (32 - lin)
     over_r = _redc_cols(cols)
     out = _mmul_rows(over_r, R2_INTS)
     s_rows = [s_ref[0, i] for i in range(16)]            # scalars from SMEM
     out = _mmul_rows(out, s_rows)
-    o_ref[:] = jnp.stack(out, axis=-2)
+    o_ref[:] = jnp.stack(out, axis=-3).reshape(16, block)
 
 
 @jax.jit

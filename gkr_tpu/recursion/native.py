@@ -23,6 +23,7 @@ A MiMC7 gadget is included so the reference's example circuit
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from ..field import P
 from ..mimc import mimc7_constants
@@ -157,33 +158,90 @@ def _wire_values(b: ConstraintBuilder, values: list[int]) -> list[LC]:
     return [LC.var(b.alloc(v)) for v in values]
 
 
+def _eq_prod_table(b: ConstraintBuilder, coords: list[LC]) -> list[LC]:
+    """Doubling-built table of all 2^k eq products over `coords` (MSB-first
+    index order): 2^(k+1) - 4 multiplications total, vs k - 1 per lookup."""
+    one = LC.const(1)
+    if not coords:
+        return [one]
+    tbl = [one - coords[0], coords[0]]       # level 1: linear, no muls
+    for x in coords[1:]:
+        xc = one - x
+        tbl = [b.mul(t, f) for t in tbl for f in (xc, x)]
+    return tbl
+
+
 def eval_wiring_gadget(b: ConstraintBuilder, gates, k_cur: int, k_next: int,
                        point: list[LC]) -> LC:
     """In-circuit wiring-MLE evaluation: sum over gates of
     eq(bits(out)||bits(l)||bits(r), point).  Gate labels are compile-time
-    constants, so each eq factor is linear (x_j or 1-x_j) and a gate costs
-    k_cur + 2*k_next - 1 multiplications.
+    constants, so each eq factor is linear (x_j or 1-x_j).
+
+    Cost control (this check dominates recursive-round growth): when the
+    gate list is dense enough, build the three coordinate eq-product tables
+    by doubling (~2*(2^k_cur + 2*2^k_next) muls total) and spend only 2
+    muls per gate; otherwise walk per-gate products with a shared-prefix
+    memo (sorted gates reuse common label prefixes).  Both are exact.
 
     This is the recombination ingredient the reference's circom verifier
     omits entirely (verifier.circom:22-29, SURVEY §2 item 15)."""
     nbits = k_cur + 2 * k_next
     assert len(point) == nbits
-    total = LC.const(0)
+    if not gates:
+        return LC.const(0)
     one = LC.const(1)
-    for (o, l, r) in gates:
+    naive_cost = len(gates) * max(nbits - 1, 0)
+    table_cost = ((1 << (k_cur + 1)) + 2 * (1 << (k_next + 1))
+                  + 2 * len(gates))
+    total = LC.const(0)
+    if table_cost < naive_cost:
+        t_out = _eq_prod_table(b, point[:k_cur])
+        t_b = _eq_prod_table(b, point[k_cur:k_cur + k_next])
+        t_c = _eq_prod_table(b, point[k_cur + k_next:])
+        for (o, l, r) in gates:
+            total = total + b.mul(b.mul(t_out[o], t_b[l]), t_c[r])
+        return total
+    memo: dict[tuple, LC] = {}
+    for (o, l, r) in sorted(gates):
         label = o << (2 * k_next) | l << k_next | r
+        bits = tuple((label >> (nbits - 1 - j)) & 1 for j in range(nbits))
         acc = None
-        for j in range(nbits):
-            bit = (label >> (nbits - 1 - j)) & 1
-            factor = point[j] if bit else (one - point[j])
+        start = 0
+        for j in range(nbits, 0, -1):          # longest memoized prefix
+            hit = memo.get(bits[:j])
+            if hit is not None:
+                acc, start = hit, j
+                break
+        for j in range(start, nbits):
+            factor = point[j] if bits[j] else (one - point[j])
             acc = factor if acc is None else b.mul(acc, factor)
+            memo[bits[:j + 1]] = acc
         total = total + acc
     return total
 
 
+class ProofShape(NamedTuple):
+    """Structural (unpadded) coefficient lengths of a proof — compile-time
+    constants of the circuit being verified (round_poly_len / q degree), NOT
+    witness data.  They let the gadget hash exactly the structural-length
+    suffix of a circom-padded proof, resolving the round-2 padding/full_fs
+    conflict: padding is LEADING zeros, so the true coefficients are the
+    last `len` wires, and the gadget pins every padding wire to zero."""
+    round_lens: list[list[int]]      # per layer, per round
+    q_lens: list[int]                # per layer
+
+
+def proof_shape(proof: Proof) -> ProofShape:
+    """Extract the structural shape from an UNPADDED proof."""
+    return ProofShape(
+        [[len(rnd) for rnd in layer] for layer in proof.sumcheck_proofs],
+        [len(qq) for qq in proof.q])
+
+
 def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
                       meta: list[int] | None = None, circuit=None,
-                      full_fs: bool | None = None) -> dict:
+                      full_fs: bool | None = None,
+                      shape: ProofShape | None = None) -> dict:
     """In-circuit GKR verifier at FULL host-verifier strength
     (gkr_tpu/verifier.py), closing the soundness gaps the reference's
     verifier.circom leaves open (free `sumcheckr`/`r` inputs, no wiring
@@ -206,14 +264,26 @@ def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
     circuit the full gadget is ~7k constraints vs ~60 for the weak
     (reference-parity) version.
 
-    `full_fs` requires the UNPADDED proof (the transcript hashes the
-    structural-length coefficient lists; circom-style padding changes the
-    hash input), so it defaults to on only when `meta` is None; passing
-    `meta` selects the padded circom-parity shape with full_fs off."""
+    The transcript hashes STRUCTURAL-length coefficient lists while the
+    circom proof shape front-pads them with zeros (serialize.py /
+    aggregator.rs:143-213).  With a `shape` (the structural lengths — circuit
+    compile-time constants), the gadget reconciles the two: every padding
+    wire is constrained to zero and the MiMC hash consumes only the
+    structural suffix, so the SAME mode is circom-shape-compatible AND
+    transcript-sound.  full_fs defaults on; for a padded proof it requires
+    `shape` (pass full_fs=False explicitly for the weak reference-parity
+    gadget, verifier.circom:22-29)."""
+    padded = meta is not None
     if full_fs is None:
-        full_fs = meta is None
+        full_fs = (not padded) or (shape is not None)
     if meta is None:
         meta = get_meta([proof])[0]
+    if shape is None:
+        if padded and full_fs:
+            raise ValueError(
+                "full_fs over a circom-padded proof needs the structural "
+                "ProofShape (pass shape=proof_shape(unpadded_proof))")
+        shape = proof_shape(proof)   # unpadded: pad widths are all zero
     d = meta[0]
 
     wires = {
@@ -243,6 +313,12 @@ def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
         expected = claim
         for j in range(v):
             coeffs = rounds[j]
+            if full_fs:
+                # pin padding wires to zero: a forgery cannot smuggle extra
+                # high-degree coefficients into the padded prefix
+                pad = len(coeffs) - shape.round_lens[i][j]
+                for w in coeffs[:pad]:
+                    b.assert_eq(w, LC.const(0))
             at0 = coeffs[-1]
             at1 = coeffs[0]
             for c in coeffs[1:]:
@@ -250,12 +326,18 @@ def verify_gkr_gadget(b: ConstraintBuilder, proof: Proof,
             b.assert_eq(at0 + at1, expected)
             if full_fs:
                 # challenges are not free inputs: recompute MiMC7 in-circuit
-                b.assert_eq(rs[j], mimc7_multi_gadget(b, coeffs))
+                # over exactly the structural-length coefficient suffix (the
+                # transcript's hash input — fused.py shape_coeffs rules)
+                b.assert_eq(rs[j], mimc7_multi_gadget(b, coeffs[pad:]))
             if j != v - 1:
                 expected = eval_poly_gadget(b, coeffs, rs[j])
         g_final = eval_poly_gadget(b, rounds[v - 1], rs[v - 1])
 
         if full_fs:
+            # q's padded prefix must be zero too (it feeds q(0)/q(1)/q(r*))
+            qpad = len(wires["q"][i]) - shape.q_lens[i]
+            for w in wires["q"][i][:qpad]:
+                b.assert_eq(w, LC.const(0))
             # r*_i = multi_hash(last round coeffs) = r_{i,v} — one equality.
             b.assert_eq(wires["r"][i], rs[v - 1])
             # z-chain: z_{i+1} = b* + (c* - b*) * r*_i
@@ -306,18 +388,30 @@ def builder_to_r1cs(b: ConstraintBuilder):
 
 def prove_round_native(user_fn, user_input: dict,
                        previous_proofs=None,
-                       backend=None, full_fs: bool = False,
+                       backend=None, full_fs: bool = True,
                        check_verify: bool = True,
-                       recombination: bool = False):
+                       recombination: bool = True,
+                       width_limit: int = 1):
     """One aggregation round: user constraints + verifier gadgets for every
     previous proof, then GKR-prove the combined system (subcircuits proved
     in parallel, the rayon par_iter analog — aggregator.rs:350-355).
 
     `previous_proofs` items may be bare Proofs or (Proof, GKRCircuit) pairs;
-    pairs enable the wiring-recombination check when `recombination` is on.
-    `full_fs` turns on in-circuit Fiat–Shamir recomputation (see
-    verify_gkr_gadget for the constraint-count cost — roughly 364 extra
-    constraints per hashed coefficient)."""
+    pairs enable the wiring-recombination check when `recombination` is on
+    (the default — bare Proofs silently skip it).  The embedded gadget
+    always uses the circom-padded proof shape (interoperable with
+    aggregated.json); `full_fs` (default ON) additionally recomputes every
+    Fiat–Shamir challenge in-circuit over the structural-length coefficient
+    suffix with the padding pinned to zero — the full-strength,
+    transcript-sound mode (cost: ~364 constraints per hashed coefficient).
+    full_fs=False selects the reference-parity weak gadget
+    (verifier.circom:22-29 free challenge inputs).
+
+    `width_limit` defaults to 1 (single subcircuit per round) rather than
+    the reference's 20: each subcircuit proof costs the NEXT round a full
+    verifier gadget scaling with its proof depth, so splitting multiplies
+    the recursion's growth rate by ~#subcircuits.  Pass 20 for
+    reference-parity round shapes (and intra-round task parallelism)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..frontend.compiler import compile_r1cs_to_gkr
@@ -329,21 +423,18 @@ def prove_round_native(user_fn, user_input: dict,
     if previous_proofs:
         items = [(p, None) if isinstance(p, Proof) else p
                  for p in previous_proofs]
-        if full_fs:
-            for proof, circ in items:
-                verify_gkr_gadget(
-                    b, proof, circuit=circ if recombination else None,
-                    full_fs=True)
-        else:
-            proofs_only = [p for p, _ in items]
-            metas = get_meta(proofs_only)
-            padded = modify_proof_for_circom(proofs_only, metas)
-            for (proof, circ), pp, meta in zip(items, padded, metas):
-                verify_gkr_gadget(b, pp, meta,
-                                  circuit=circ if recombination else None)
+        proofs_only = [p for p, _ in items]
+        metas = get_meta(proofs_only)
+        padded = modify_proof_for_circom(proofs_only, metas)
+        for (proof, circ), pp, meta in zip(items, padded, metas):
+            verify_gkr_gadget(b, pp, meta,
+                              circuit=circ if recombination else None,
+                              full_fs=full_fs,
+                              shape=proof_shape(proof) if full_fs else None)
 
     r1cs, wtns = builder_to_r1cs(b)
-    circuits, w_values_list, _ = compile_r1cs_to_gkr(r1cs, wtns, check=True)
+    circuits, w_values_list, _ = compile_r1cs_to_gkr(
+        r1cs, wtns, check=True, width_limit=width_limit)
 
     def prove_one(idx):
         proof = prove(circuits[idx], w_values_list[idx], backend=backend)
@@ -362,8 +453,9 @@ def prove_round_native(user_fn, user_input: dict,
 
 def prove_all_native(user_fn, inputs: list[dict], backend=None,
                      export_final: str | None = None,
-                     full_fs: bool = False, check_verify: bool = True,
-                     recombination: bool = False):
+                     full_fs: bool = True, check_verify: bool = True,
+                     recombination: bool = True,
+                     width_limit: int = 1):
     """Full aggregation: round 0 direct, middle rounds with verifier
     gadgets, final round exported as aggregated.r1cs/witness.wtns for the
     snarkjs groth16 hand-off (no circom/node anywhere).  Each round
@@ -374,7 +466,8 @@ def prove_all_native(user_fn, inputs: list[dict], backend=None,
         prev = pairs if i > 0 else None
         pairs, final_builder = prove_round_native(
             user_fn, user_input, prev, backend=backend, full_fs=full_fs,
-            check_verify=check_verify, recombination=recombination)
+            check_verify=check_verify, recombination=recombination,
+            width_limit=width_limit)
     if export_final and final_builder is not None:
         from ..frontend.r1cs import R1csFile
         from ..frontend.wtns import WtnsFile

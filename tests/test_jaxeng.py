@@ -120,6 +120,30 @@ def test_seg_build_matches_scatter():
     assert L.unpack(t2) == want2
 
 
+def test_seg_build_chunked_path(monkeypatch):
+    """The multi-chunk clipped-boundary path (gate lists past SEG_CHUNK)
+    agrees with a host scatter.  SEG_CHUNK is shrunk so the chunking logic
+    runs at test size; exactness is chunk-local so a small chunk bound
+    exercises the identical code path as 2^24."""
+    import jax
+    import jax.numpy as jnp
+
+    from gkr_tpu.jaxeng import fused as F
+    monkeypatch.setattr(F, "SEG_CHUNK", 16)
+    rng = random.Random(23)
+    n, G = 8, 100          # 7 chunks; buckets straddle chunk boundaries
+    keys = [rng.randrange(n) for _ in range(G)]
+    for i in range(40):
+        keys[i] = 5        # one hot bucket spanning multiple chunks
+    w1 = [P - 1 - rng.randrange(3) for _ in range(G)]
+    t1, = jax.jit(lambda k_, a: F._seg_build(k_, [a], n))(
+        jnp.asarray(keys, jnp.int32), L.pack(w1))
+    want = [0] * n
+    for g in range(G):
+        want[keys[g]] = (want[keys[g]] + w1[g]) % P
+    assert L.unpack(t1) == want
+
+
 def test_fused_layer_sumcheck_parity():
     """Fused device-resident layer sumcheck vs the exact host engine:
     identical round polynomials AND challenges (the fused wrapper itself

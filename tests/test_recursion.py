@@ -165,19 +165,36 @@ def test_verify_gkr_gadget_rejects_tampered_challenge():
 
 
 def test_verify_gkr_gadget_recombination_rejects_wrong_q():
-    """A q polynomial consistent with the claim chain but inconsistent with
-    the circuit wiring is caught ONLY by the recombination check."""
+    """A DISCRIMINATING forgery for the wiring-recombination check: replace
+    q_i with q'_i = q_i + c*(x - r*_i).  Then q'_i(r*_i) == q_i(r*_i), so
+    the claim chain, every sum check, the Fiat–Shamir recomputation and the
+    z-chain all still pass (q is never hashed — SURVEY §5 footnote 4); only
+    g_v(r) == add~*(q'(0)+q'(1)) + mult~*q'(0)q'(1) can catch it.  The
+    gadget WITHOUT recombination must accept this forgery; the full gadget
+    must reject it."""
     import copy
     import pytest
     proof, circuit = make_toy_proof()
     bad = copy.deepcopy(proof)
-    # shift q and the downstream chain so the weak checks still pass is
-    # nontrivial; simply flip q's constant term and confirm the full gadget
-    # rejects while pinpointing recombination/claim coupling.
-    bad.q[-1][0] = (bad.q[-1][0] + 1) % P
-    b = ConstraintBuilder()
+    i = 0
+    c = 12345
+    r_star = proof.r[i]
+    assert len(bad.q[i]) >= 2, "need degree >= 1 to forge"
+    bad.q[i][-2] = (bad.q[i][-2] + c) % P            # + c*x
+    bad.q[i][-1] = (bad.q[i][-1] - c * r_star) % P   # - c*r*
+    # sanity: the forged q agrees with the original at r* (claim chain safe)
+    from gkr_tpu.field import eval_univariate
+    assert eval_univariate(bad.q[i], r_star) == \
+        eval_univariate(proof.q[i], r_star)
+
+    # weak-in-this-one-dimension gadget (full FS, no recombination): ACCEPTS
+    b_weak = ConstraintBuilder()
+    verify_gkr_gadget(b_weak, bad, full_fs=True)
+
+    # full gadget: REJECTED, by recombination alone
+    b_full = ConstraintBuilder()
     with pytest.raises(AssertionError):
-        verify_gkr_gadget(b, bad, circuit=circuit, full_fs=True)
+        verify_gkr_gadget(b_full, bad, circuit=circuit, full_fs=True)
 
 
 def test_verify_gkr_gadget_rejects_tampered_z_chain():
@@ -191,14 +208,81 @@ def test_verify_gkr_gadget_rejects_tampered_z_chain():
         verify_gkr_gadget(b, bad, circuit=circuit, full_fs=True)
 
 
+def test_verify_gkr_gadget_padded_strong():
+    """The circom-padded proof shape and full transcript soundness in ONE
+    mode (round-2 VERDICT ask #6): padding wires pinned to zero, MiMC over
+    the structural-length suffix.  Valid padded proof accepted + provable;
+    tampered challenge in the padded proof rejected; nonzero padding
+    (coefficient smuggling) rejected."""
+    import copy
+    import pytest
+    from gkr_tpu.recursion.native import proof_shape
+    proof, circuit = make_toy_proof()
+    metas = get_meta([proof])
+    padded = modify_proof_for_circom([proof], metas)[0]
+    shape = proof_shape(proof)
+
+    b = ConstraintBuilder()
+    verify_gkr_gadget(b, padded, metas[0], circuit=circuit,
+                      full_fs=True, shape=shape)
+    r1cs, wtns = builder_to_r1cs(b)
+    from gkr_tpu.frontend.compiler import compile_r1cs_to_gkr
+    circuits, w_values, _ = compile_r1cs_to_gkr(r1cs, wtns)
+    for c, w in zip(circuits, w_values):
+        assert verify(prove(c, w), c, raise_on_fail=True)
+
+    # padded proof with a tampered Fiat–Shamir challenge: rejected
+    bad = copy.deepcopy(padded)
+    bad.sumcheck_r[0][0] = (bad.sumcheck_r[0][0] + 1) % P
+    with pytest.raises(AssertionError):
+        verify_gkr_gadget(ConstraintBuilder(), bad, metas[0],
+                          full_fs=True, shape=shape)
+
+    # nonzero padding position (smuggled high-degree coeff): rejected
+    bad2 = copy.deepcopy(padded)
+    lens = shape.round_lens[0][0]
+    if len(bad2.sumcheck_proofs[0][0]) > lens:       # padding exists
+        bad2.sumcheck_proofs[0][0][0] = 7
+        with pytest.raises(AssertionError):
+            verify_gkr_gadget(ConstraintBuilder(), bad2, metas[0],
+                              full_fs=True, shape=shape)
+
+    # full_fs over padded without shape is a hard error, not silent weak
+    with pytest.raises(ValueError):
+        verify_gkr_gadget(ConstraintBuilder(), padded, metas[0],
+                          full_fs=True)
+
+
+def test_native_aggregation_two_rounds_strong_default():
+    """DEFAULT-mode aggregation (full_fs + recombination, padded shape):
+    the second round embeds the full-strength gadget for the first round's
+    proof.  Two rounds keeps CI fast: recombination cost is linear in the
+    verified circuit, so each extra strong round grows the circuit ~6x
+    (the reference avoids this only by omitting the checks entirely —
+    verifier.circom:22-29)."""
+    from gkr_tpu.examples import square_chain_example
+    inputs = [{"in1": 3}, {"in1": 5}]
+    pairs = None
+    for i, ui in enumerate(inputs):
+        pairs, b = prove_round_native(square_chain_example, ui,
+                                      pairs if i else None)
+    # the strong gadget is materially present in round 1
+    assert len(b.constraints) > 5000
+    assert len(pairs) == 1          # width_limit=1: single subproof/round
+
+
 def test_native_aggregation_three_rounds(tmp_path):
     """The reference's 3-input aggregation flow (aggregator.rs test_proving)
-    with the external toolchain replaced by the native path."""
+    with the external toolchain replaced by the native path.  Runs the
+    reference-parity weak-gadget mode (the reference's own verifier
+    strength) so three rounds stay CI-sized; the strong default is covered
+    by test_native_aggregation_two_rounds_strong_default."""
     from gkr_tpu.examples import square_chain_example
     inputs = [{"in1": 3}, {"in1": 5}, {"in1": 7}]
     export = os.path.join(tmp_path, "aggregated")
     proofs = prove_all_native(square_chain_example, inputs,
-                              export_final=export)
+                              export_final=export,
+                              full_fs=False, recombination=False)
     assert proofs and all(p.depth >= 2 for p in proofs)
     assert os.path.exists(export + ".r1cs")
     assert os.path.exists(export + ".wtns")
