@@ -26,10 +26,21 @@ Prints ONE JSON line.  Fields:
   sol_fraction            : mont_mul_per_sec / kernel_peak_mul_per_sec —
                             how close the full pipeline runs to its own
                             kernel peak (dispatch, hash, build overheads)
+  roofline                : HARDWARE anchor (not self-referential):
+                            hbm_min_ms   = analytic minimum HBM bytes/layer
+                                           at the chip's pin bandwidth,
+                            vpu_min_ms   = u32 VPU ops/layer at the chip's
+                                           MEASURED elementwise u32 peak
+                                           (in-VMEM Pallas microbench),
+                            chip_min_ms  = max of the two (the binding one),
+                            sol_vs_chip  = chip_min_ms / layer_ms
   breakdown_ms            : build1/build2/rounds+hash split, milliseconds
 
-GKR_BENCH_K overrides k.  GKR_BENCH_EXTRA=1 adds a 2^16 config and a full
-multi-layer prove; see BENCH_extra_r02.json for a recorded full sweep.
+GKR_BENCH_K overrides k.  GKR_BENCH_EXTRA=1 additionally runs a 2^16-layer
+config and a FULL multi-layer prove (layer walk + mle_struct +
+restrict_to_line + sparse_from_dense + full-strength host verify) and
+emits them under "extra" in the same JSON line; the recorded sweep for
+round 3 is committed as BENCH_extra_r03.json.
 """
 
 from __future__ import annotations
@@ -95,6 +106,89 @@ def run_cpp(k: int) -> float | None:
     return (len(ag) + len(mg)) / (time.time() - t0)
 
 
+# ---------------------------------------------------------------- roofline
+#
+# Chip constants for the roofline anchor.  HBM pin bandwidth per chip from
+# the public spec (TPU v5e: 819 GB/s; jax-ml.github.io/scaling-book).  The
+# VPU u32 throughput is NOT taken from a spec — elementwise u32 multiply is
+# partially emulated by Mosaic — so it is MEASURED in-VMEM on this chip by
+# _measure_vpu_peak and the measured number is recorded in the output.
+HBM_GBPS = {"TPU v5": 819.0, "TPU v5 lite": 819.0, "TPU v4": 1228.0,
+            "TPU v6": 1640.0}
+
+# u32 VPU ops in one 16x16-limb Montgomery multiply (pallas_kernels.py):
+#   _mul_cols: 256 muls + 256 masks + 256 shifts + 512 adds        = 1280
+#   _redc_cols: 16*(3 muls + ...) + 15*16*(1 mul + 2 ops + 2 adds) ~ 1500
+#   _norm_rows: carry chain 16*(2 adds + mask + shift) + cond-sub   ~  160
+OPS_PER_MONT_MUL = 2940
+
+
+def _measure_vpu_peak():
+    """Measured elementwise u32 multiply rate (Gop/s) inside a VMEM kernel
+    — the silicon anchor for vpu_min_ms.  Uses a 16-deep in-register chain
+    so HBM traffic is negligible."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, ROWS, BLOCK, REPS = 1 << 20, 16, 1 << 11, 16
+
+    def kernel(a_ref, b_ref, o_ref):
+        a, b = a_ref[:], b_ref[:]
+        acc = a
+        for _ in range(REPS):
+            acc = acc * b
+        o_ref[:] = acc
+
+    @jax.jit
+    def run(a, b):
+        return pl.pallas_call(
+            kernel, grid=(N // BLOCK,),
+            in_specs=[pl.BlockSpec((ROWS, BLOCK), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((ROWS, BLOCK), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ROWS, N), jnp.uint32))(a, b)
+
+    a = jax.random.randint(jax.random.PRNGKey(0), (ROWS, N), 1, 1 << 15,
+                           jnp.int32).astype(jnp.uint32)
+    run(a, a).block_until_ready()
+    best = None
+    for _ in range(5):
+        t0 = time.time()
+        run(a, a).block_until_ready()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return ROWS * N * REPS / best / 1e9
+
+
+def _min_hbm_bytes(n: int, na: int, nm: int) -> int:
+    """Analytic minimum HBM traffic for one fused layer (bytes).
+
+    Counted at 64 B per (16,)-u32 field element, 128 B per gate for the
+    8+8-split cumsum columns.  Rounds (both phases, sizes summing to 2n
+    per phase over the halving chain): eval reads the stack once, fold
+    reads it again and writes half — phase 1 stack is 4 tables, phase 2
+    is 3.  Builds: per phase, gather + product + cumsum over the gate
+    list and one boundary-difference pass over the n buckets."""
+    G = na + nm
+    elem = 64
+    rounds = 0
+    for t in (4, 3):
+        per_entry = elem * t            # one table-stack entry
+        rounds += 2 * n * per_entry     # eval pass (sum of halving sizes)
+        rounds += 2 * n * per_entry     # fold read
+        rounds += n * per_entry         # fold write (half, summed = n)
+    builds = 0
+    for _phase in (1, 2):
+        builds += 3 * elem * G          # weight gather read+write+mul read
+        builds += 2 * 128 * G           # split columns write + cumsum read
+        builds += 2 * 128 * n           # boundary gathers (hi/lo) over Cz
+        builds += elem * n * 3          # normalize write per table (~3)
+    return rounds + builds
+
+
 def run_device(k: int):
     import jax
 
@@ -138,16 +232,17 @@ def run_device(k: int):
         jax.block_until_ready(r)
         return (time.time() - t0) / reps
 
-    b1 = tt(lambda: F._build_phase1(w_dev, z_dev, wiring, (na, nm), n,
+    c1 = (na, nm, wiring.fast[0], wiring.fast[1])
+    c2 = (na, nm, wiring.fast[2], wiring.fast[3])
+    b1 = tt(lambda: F._build_phase1(w_dev, z_dev, wiring, c1, n,
                                     pallas_build))
-    S1, eqz = F._build_phase1(w_dev, z_dev, wiring, (na, nm), n,
-                              pallas_build)
+    S1, eqz = F._build_phase1(w_dev, z_dev, wiring, c1, n, pallas_build)
     import jax.numpy as jnp
     from gkr_tpu.field import P as _P
     b_star = jnp.stack([L.pack_scalar(rng.randrange(_P)) for _ in range(k)])
     wb = L.pack_scalar(rng.randrange(_P))
     b2 = tt(lambda: F._build_phase2(w_dev, b_star, wb, eqz, wiring,
-                                    (na, nm), n, pallas_build))
+                                    c2, n, pallas_build))
 
     # standalone Pallas mont_mul peak (compute speed-of-light proxy)
     peak = None
@@ -160,6 +255,92 @@ def run_device(k: int):
         peak = n / dt_m
 
     return best, b1, b2, peak
+
+
+class _TimedBackend:
+    """Per-stage timing proxy around a prover backend (full-prove mode)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.t: dict[str, float] = {}
+
+    def reset_cache(self):
+        if hasattr(self.inner, "reset_cache"):
+            self.inner.reset_cache()
+
+    def _timed(self, name, fn, *a, **kw):
+        t0 = time.time()
+        r = fn(*a, **kw)
+        self.t[name] = self.t.get(name, 0.0) + (time.time() - t0)
+        return r
+
+    def mle_struct(self, *a, **kw):
+        return self._timed("mle_struct", self.inner.mle_struct, *a, **kw)
+
+    def layer_sumcheck(self, *a, **kw):
+        return self._timed("sumcheck", self.inner.layer_sumcheck, *a, **kw)
+
+    def restrict_to_line(self, *a, **kw):
+        return self._timed("restrict_to_line",
+                           self.inner.restrict_to_line, *a, **kw)
+
+    def sparse_from_dense(self, *a, **kw):
+        return self._timed("sparse_from_dense",
+                           self.inner.sparse_from_dense, *a, **kw)
+
+
+def synth_circuit(rng: random.Random, k: int, k_input: int):
+    """Depth-3 synthetic circuit with 2^k-gate wide layers: 16 outputs <-
+    2^k gates <- 2^k-entry layer <- 2^k gates <- 2^k_input inputs.  The
+    full-prove scope of rust/src/gkr/prover.rs:6-96 +
+    rust/src/convert.rs:787-849 (struct + sumcheck + line restriction +
+    sparse MLE materialization per layer)."""
+    from gkr_tpu.circuit import GKRCircuit, GateLayer
+
+    n, ni = 1 << k, 1 << k_input
+    l0 = GateLayer(4, k, add_gates=[(o, rng.randrange(n), rng.randrange(n))
+                                    for o in range(16)])
+    mid_add, mid_mult = [], []
+    for g in range(n):
+        trip = (g, rng.randrange(n), rng.randrange(n))
+        (mid_add if g & 1 else mid_mult).append(trip)
+    l1 = GateLayer(k, k, add_gates=mid_add, mult_gates=mid_mult)
+    in_add, in_mult = [], []
+    for g in range(n):
+        trip = (g & (n - 1), rng.randrange(ni), rng.randrange(ni))
+        (in_add if g & 1 else in_mult).append(trip)
+    l2 = GateLayer(k, k_input, add_gates=in_add, mult_gates=in_mult)
+    return GKRCircuit(layers=[l0, l1, l2], input_k=k_input)
+
+
+def run_full_prove(k: int, k_input: int = 16):
+    """Full prove() + full-strength host verify on the device backend.
+
+    Returns (total gates, prove seconds, per-stage dict, verify seconds).
+    sparse_from_dense materializes the input-layer MLE (2^k_input terms) —
+    on the tunneled bench host that stage is transfer-bound (~0.5 MB/s
+    device->host); the per-stage split keeps the compute number honest."""
+    from gkr_tpu.field import P
+    from gkr_tpu.jaxeng.backend import JaxBackend
+    from gkr_tpu.prover import prove
+    from gkr_tpu.verifier import verify
+
+    rng = random.Random(7)
+    circuit = synth_circuit(rng, k, k_input)
+    inputs = [rng.randrange(P) for _ in range(1 << k_input)]
+    w = circuit.evaluate(inputs)
+    backend = _TimedBackend(JaxBackend())
+    proof = prove(circuit, w, backend=backend)          # warmup: compiles
+    backend.t.clear()
+    t0 = time.time()
+    proof = prove(circuit, w, backend=backend)
+    dt = time.time() - t0
+    t1 = time.time()
+    ok = verify(proof, circuit)
+    verify_s = time.time() - t1
+    assert ok, "full-prove self-verification failed"
+    gates = sum(layer.n_gates() for layer in circuit.layers)
+    return gates, dt, dict(backend.t), verify_s
 
 
 def main() -> int:
@@ -198,6 +379,31 @@ def main() -> int:
         mont_muls += int(3.5 * m) + int(4.5 * m)
         m //= 2
 
+    # hardware roofline: HBM bytes at pin bandwidth vs u32 ops at the
+    # MEASURED elementwise peak — the binding one is the chip floor
+    roofline = None
+    try:
+        import jax
+        dev_kind = jax.devices()[0].device_kind
+        gbps = next((v for pfx, v in HBM_GBPS.items()
+                     if dev_kind.startswith(pfx)), None)
+        if gbps and jax.devices()[0].platform != "cpu":
+            vpu_gops = _measure_vpu_peak()
+            hbm_min = _min_hbm_bytes(n, n // 2, n // 2) / (gbps * 1e9)
+            vpu_min = mont_muls * OPS_PER_MONT_MUL / (vpu_gops * 1e9)
+            chip_min = max(hbm_min, vpu_min)
+            roofline = {
+                "device_kind": dev_kind,
+                "hbm_gbps": gbps,
+                "vpu_u32_gops_measured": round(vpu_gops, 1),
+                "hbm_min_ms": round(hbm_min * 1000, 2),
+                "vpu_min_ms": round(vpu_min * 1000, 2),
+                "chip_min_ms": round(chip_min * 1000, 2),
+                "sol_vs_chip": round(chip_min / dt, 3),
+            }
+    except Exception as e:  # pragma: no cover
+        roofline = {"error": str(e)}
+
     out.update({
         "value": round(device_rate, 1),
         "vs_baseline": round(device_rate / baseline, 2),
@@ -210,10 +416,29 @@ def main() -> int:
         "mont_mul_per_sec": round(mont_muls / dt, 1),
         "kernel_peak_mul_per_sec": round(peak, 1) if peak else None,
         "sol_fraction": (round(mont_muls / dt / peak, 3) if peak else None),
+        "roofline": roofline,
         "breakdown_ms": {"build_phase1": round(b1 * 1000, 1),
                          "build_phase2": round(b2 * 1000, 1),
                          "rounds_and_hash": round((dt - b1 - b2) * 1000, 1)},
     })
+
+    if os.environ.get("GKR_BENCH_EXTRA", "") == "1":
+        extra = {}
+        dt16, _, _, _ = run_device(16)
+        extra["layer_2e16"] = {"gates_per_sec": round((1 << 16) / dt16, 1),
+                               "layer_ms": round(dt16 * 1000, 2)}
+        fk = int(os.environ.get("GKR_BENCH_FULL_K", str(k)))
+        fki = int(os.environ.get("GKR_BENCH_FULL_KIN", "16"))
+        gates, fdt, stages, verify_s = run_full_prove(fk, fki)
+        extra["full_prove"] = {
+            "config": f"depth-3, 2^{fk}-gate layers, 2^{fki} inputs",
+            "total_gates": gates,
+            "prove_s": round(fdt, 3),
+            "gates_per_sec": round(gates / fdt, 1),
+            "stage_s": {s: round(t, 3) for s, t in stages.items()},
+            "host_verify_s": round(verify_s, 2),
+        }
+        out["extra"] = extra
     print(json.dumps(out))
     return 0
 

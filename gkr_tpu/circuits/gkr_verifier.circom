@@ -23,6 +23,32 @@ pragma circom 2.0.0;
  * 4:max-round-poly-len 5:max-q-len 6:#inputFunc-terms 7:k_input 8..:k_i
  */
 
+// Binary-form gate-code factor (the reference's optimizedGate.circom
+// `evalGateFunction`, poly/optimizedGate.circom:3-28 — dead code there,
+// provided here for parity with the binary-form wiring representation):
+// code t in {0,1,2} selects {1, (1-x), x} by quadratic interpolation in t:
+//   f(t,x) = 1 + t*( (3x-2)/2 + t*(1-... ) )  — derived directly:
+//   f(0)=1, f(1)=1-x, f(2)=x  =>  f(t) = 1 + t*(-3/2 + x/2)... use exact
+//   Lagrange: f(t) = (t-1)(t-2)/2 * 1 + t(t-2)/(-1) * (1-x) + t(t-1)/2 * x
+template GkrEvalGateCode() {
+    signal input code;      // 0 (absent), 1 -> (1-x), 2 -> x
+    signal input x;
+    signal output out;
+
+    signal l0;
+    signal l1;
+    signal l2;
+    l0 <== (code - 1) * (code - 2);          // 2 at t=0
+    l1 <== code * (code - 2);                // -1 at t=1
+    l2 <== code * (code - 1);                // 2 at t=2
+    signal t1;
+    t1 <== l1 * (1 - x);
+    signal t2;
+    t2 <== l2 * x;
+    // divide by 2 / -1 / 2: out = l0/2 - t1 + t2/2
+    out <== (l0 + t2) / 2 - t1;
+}
+
 // Horner evaluation; coeffs[0] is the HIGHEST-degree coefficient.
 template GkrEvalPoly(n) {
     signal input coeffs[n];

@@ -26,3 +26,13 @@ def parse_sym(path_or_text: str, num_public: int,
         if len(res) == num_public:
             break
     return res
+
+
+def write_sym(path: str, public_names: list[str]) -> None:
+    """Emit the minimal circom-compatible .sym: one `#label,#wire,
+    #component,fullname` line per public signal, wires 1..n in circom's
+    public-first wire order (the subset parse_sym consumes — the reference
+    reads only the first num_public lines, convert.rs:851-871)."""
+    with open(path, "w") as f:
+        for i, name in enumerate(public_names):
+            f.write(f"{i + 1},{i + 1},0,main.{name}\n")

@@ -1,26 +1,31 @@
-"""Device-resident GKR layer sumcheck: the round-2 engine.
+"""Device-resident GKR layer sumcheck: the fused single-chip engine.
 
-The layer sumcheck runs as a Python-driven chain of small jitted programs
-whose intermediate values ALL stay on device — wiring-table build, per-round
-evaluate/interpolate, on-device MiMC7 Fiat–Shamir, true-halving fold.  The
-host never synchronizes mid-layer; per layer there is one upload of
-(w, z, gate arrays) and one ~KB download of the stacked coefficients and
-challenges at the end.
+Per layer: two build programs (phase-1/phase-2 wiring tables), then the
+round chain — large rounds as eager true-halving programs, the tail as ONE
+lax.scan program — all intermediate values staying on device.  The host
+never synchronizes mid-layer; per layer there is one upload of (w, z, gate
+arrays) and one ~KB download of the stacked coefficients and challenges.
 
 Why this shape (measured on the tunneled TPU v5e, scripts/profile_*.py):
   * device->host transfers run at ~0.5 MB/s through the tunnel (64 MB =
-    124 s!) while dispatches cost 0.06 ms and uploads ~1.2 GB/s — so the
-    round-1 engine's per-round host MiMC round-trip is replaced by
-    on-device MiMC7 (gkr_tpu.jaxeng.mimc_dev) chained asynchronously;
+    124 s!) while uploads run ~1.2 GB/s — so the round-1 engine's
+    per-round host MiMC round-trip is replaced by on-device MiMC7
+    (gkr_tpu.jaxeng.mimc_dev / the Mosaic kernel) chained asynchronously;
   * XLA scatter-add is ~3.5 us/row — the round-1 chunked scatter build cost
     ~28 s of the 30 s layer time at 2^20.  Replaced by a sort+cumsum
-    segment-sum (lax.sort + split-limb cumsum + searchsorted), ~1 ms at 2^20;
-  * true-halving folds make total round traffic O(n) (geometric series)
-    instead of the replicated-buffer O(n * k);
-  * modular programs (one per table size, reused across rounds, layers and
-    circuits; jax.jit's shape cache does the bookkeeping) keep each compile
-    small — the expensive MiMC program is compiled exactly twice (2- and
-    3-coefficient variants) per process.
+    segment-sum (host-planned sort + limb cumsum + one boundary gather +
+    shifted difference), ~25 ms per build at 2^20;
+  * each program DISPATCH costs ~1 ms of enqueue latency through the
+    tunnel; round 2's per-round programs (3 dispatches x 40 rounds =
+    ~114 ms/layer of pure latency) are replaced by the hybrid chain
+    (_run_phase_pallas): true-halving eager rounds while eval is
+    VPU-compute-bound (table > SCAN_MAX), then one fixed-shape scan
+    program with replicated folds for the dispatch-bound tail —
+    271 ms -> 179 ms per 2^20 layer, and each Mosaic kernel compiles
+    once per (n, phase) instead of once per halved size;
+  * the expensive XLA MiMC scan program is compiled exactly twice (2- and
+    3-coefficient variants) per process for the CPU path; the TPU path
+    hashes in the in-VMEM Mosaic kernel.
 
 The segment-sum build: for a table T[b] = sum_{g: key_g = b} weight_g,
 sort gate indices by key, split each 16-bit limb of the gathered weights
@@ -130,18 +135,47 @@ def _seg_recombine_T(seg):
     return pad(l0 + h0, 0, 2) + pad(l1 + h1 + h2, 1, 1)
 
 
-def _seg_sorted_T(hi_b, weights_T, n):
+def _shift_diff_T(H, first_col):
+    """Per-bucket sums from gathered cumsum columns, (L, n) layout.
+
+    The lo-boundary gather is redundant: lo_b[b] = hi_b[b-1], so the lo
+    values are the hi-gather SHIFTED one bucket right with `first_col`
+    (the cumsum at the chunk start) in front — one gather instead of two
+    (measured 26 ms per (32, n) gather pair at 2^20)."""
+    return H - jnp.concatenate([first_col, H[:, :-1]], axis=1)
+
+
+def _shift_diff(H, first_row):
+    return H - jnp.concatenate([first_row, H[:-1]], axis=0)
+
+
+def _seg_sorted_T(hi_b, weights_T, n, fast: bool = False):
     """Segment-sum over (16, G) weights ALREADY SORTED by bucket key ->
     (18, n) relaxed tables feeding pl_normalize_T with no transposes.
-    Same chunked wrap-exactness argument as _seg_build_planned; sorting is
-    pre-applied on the host (LayerWiring carries pre-permuted index
-    arrays), saving one 64 MB random gather per table (~8 ms at 2^20)."""
+    Sorting is pre-applied on the host (LayerWiring carries pre-permuted
+    index arrays), saving one 64 MB random gather per table at 2^20.
+
+    `fast` (static, from the wiring plan): every bucket holds < 2^16
+    gates, so a per-bucket sum of 16-bit limbs is < 2^32 and the wrapping
+    uint32 cumsum-difference is exact WITHOUT the 8+8 bit split or
+    chunking — half the cumsum/gather traffic.  The general path splits
+    limbs 8+8 and takes clipped-boundary passes per 2^24-gate chunk (see
+    _seg_build_planned)."""
     G = weights_T[0].shape[-1]
     assert G <= MAX_GATES, "gate list exceeds int32 indexing cap"
-    nch = max(1, -(-G // SEG_CHUNK))
-    lo_b = jnp.concatenate(
-        [jnp.zeros((1,), hi_b.dtype), hi_b[:-1]], axis=0)
     out = []
+    if fast:
+        for ws in weights_T:
+            C = jnp.cumsum(ws, axis=1, dtype=jnp.uint32)  # wrapping
+            Cz = jnp.concatenate(
+                [jnp.zeros((16, 1), jnp.uint32), C], axis=1)
+            seg = _shift_diff_T(Cz[:, hi_b],
+                                jnp.zeros((16, 1), jnp.uint32))
+            pad = lambda x, b, a: jnp.pad(x, ((b, a), (0, 0)))  # noqa: E731
+            out.append(pad(seg & jnp.uint32(0xFFFF), 0, 2)
+                       + pad(seg >> 16, 1, 1))
+        return out
+    nch = max(1, -(-G // SEG_CHUNK))
     for ws in weights_T:
         allc = jnp.concatenate(
             [ws & jnp.uint32(0xFF), ws >> 8], axis=0)     # (32, G)
@@ -152,22 +186,28 @@ def _seg_sorted_T(hi_b, weights_T, n):
         for c in range(nch):
             s, e = c * SEG_CHUNK, min((c + 1) * SEG_CHUNK, G)
             hi_c = jnp.clip(hi_b, s, e)
-            lo_c = jnp.clip(lo_b, s, e)
-            seg = Cz[:, hi_c] - Cz[:, lo_c]               # exact per chunk
+            seg = _shift_diff_T(Cz[:, hi_c], Cz[:, s:s + 1])
             rel = _seg_recombine_T(seg)
             acc = rel if acc is None else acc + rel
         out.append(acc)
     return out
 
 
-def _seg_sorted(hi_b, weights, n):
+def _seg_sorted(hi_b, weights, n, fast: bool = False):
     """Row-layout _seg_sorted_T: (G, 16) sorted weights -> (n, 18)."""
     G = weights[0].shape[0]
     assert G <= MAX_GATES, "gate list exceeds int32 indexing cap"
-    nch = max(1, -(-G // SEG_CHUNK))
-    lo_b = jnp.concatenate(
-        [jnp.zeros((1,), hi_b.dtype), hi_b[:-1]], axis=0)
     out = []
+    if fast:
+        for ws in weights:
+            C = jnp.cumsum(ws, axis=0, dtype=jnp.uint32)
+            Cz = jnp.concatenate(
+                [jnp.zeros((1, 16), jnp.uint32), C], axis=0)
+            seg = _shift_diff(Cz[hi_b], jnp.zeros((1, 16), jnp.uint32))
+            out.append(L._pad_last(seg & jnp.uint32(0xFFFF), 0, 2)
+                       + L._pad_last(seg >> 16, 1, 1))
+        return out
+    nch = max(1, -(-G // SEG_CHUNK))
     for ws in weights:
         allc = jnp.concatenate(
             [ws & jnp.uint32(0xFF), ws >> 8], axis=1)     # (G, 32)
@@ -178,8 +218,7 @@ def _seg_sorted(hi_b, weights, n):
         for c in range(nch):
             s, e = c * SEG_CHUNK, min((c + 1) * SEG_CHUNK, G)
             hi_c = jnp.clip(hi_b, s, e)
-            lo_c = jnp.clip(lo_b, s, e)
-            seg = Cz[hi_c] - Cz[lo_c]                     # exact per chunk
+            seg = _shift_diff(Cz[hi_c], Cz[s:s + 1])
             rel = _seg_recombine(seg)
             acc = rel if acc is None else acc + rel
         out.append(acc)
@@ -194,6 +233,16 @@ def _seg_build_relaxed(keys, weights, n):
     sk, perm = lax.sort((keys, jnp.arange(G, dtype=jnp.int32)), num_keys=1)
     hi_b = jnp.searchsorted(sk, jnp.arange(n, dtype=jnp.int32), side="right")
     return _seg_build_planned(perm, hi_b, weights, n)
+
+
+def _seg_build_relaxed_T(keys, weights_T, n):
+    """Transposed-layout _seg_build_relaxed: weights (16, G), traced keys,
+    -> (18, n) relaxed tables.  Feeds pl_normalize_T in the sharded
+    engine's Pallas builds."""
+    G = keys.shape[0]
+    sk, perm = lax.sort((keys, jnp.arange(G, dtype=jnp.int32)), num_keys=1)
+    hi_b = jnp.searchsorted(sk, jnp.arange(n, dtype=jnp.int32), side="right")
+    return _seg_sorted_T(hi_b, [w[:, perm] for w in weights_T], n)
 
 
 def _seg_build(keys, weights, n):
@@ -226,6 +275,11 @@ class LayerWiring(NamedTuple):
     m2_out: jnp.ndarray
     m2_l: jnp.ndarray
     m2_hib: jnp.ndarray
+    # 4 bools (a1, m1, a2, m2): every bucket of that key column holds
+    # < 2^16 gates, enabling the 16-bit segment-sum fast path.  Host-side
+    # circuit constants; callers lift them into STATIC jit args (counts) —
+    # as pytree leaves here they are traced-but-unused.
+    fast: tuple = (False, False, False, False)
 
 
 def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
@@ -233,6 +287,7 @@ def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
     (pad key = n, out of every bucket range) and pre-sort the index
     columns by each phase's key."""
     parts = {}
+    fast = {}
     for name, gates in (("a", add_gates), ("m", mult_gates)):
         gp = _pad_pow2(len(gates))
         g = np.zeros((3, gp), dtype=np.int32)
@@ -247,6 +302,8 @@ def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
             hib = np.searchsorted(
                 sk, np.arange(n, dtype=np.int64), side="right"
             ).astype(np.int32)
+            maxb = int(np.max(np.diff(hib, prepend=0))) if n else 0
+            fast[f"{name}{phase}"] = bool(maxb < (1 << 16))
             parts[f"{name}{phase}_out"] = jnp.asarray(
                 g[0][perm].astype(np.int32))
             parts[f"{name}{phase}_{oname}"] = jnp.asarray(
@@ -256,7 +313,8 @@ def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
         a1_out=parts["a1_out"], a1_in=parts["a1_in"], a1_hib=parts["a1_hib"],
         m1_out=parts["m1_out"], m1_in=parts["m1_in"], m1_hib=parts["m1_hib"],
         a2_out=parts["a2_out"], a2_l=parts["a2_l"], a2_hib=parts["a2_hib"],
-        m2_out=parts["m2_out"], m2_l=parts["m2_l"], m2_hib=parts["m2_hib"])
+        m2_out=parts["m2_out"], m2_l=parts["m2_l"], m2_hib=parts["m2_hib"],
+        fast=(fast["a1"], fast["m1"], fast["a2"], fast["m2"]))
 
 
 MUL_PALLAS_MIN = 1 << 10     # smallest (16, G) routed to the Pallas mul
@@ -281,8 +339,13 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     gathers, the cumsum, and the bit-plumbing (its lowering of the limb
     REDC chain is the round-2 build bottleneck: ~42 ms per 2^20 muls vs
     ~0.6 ms in-kernel).  Returns (S1, eqz) — the eq(z) table is reused by
-    the phase-2 build."""
-    na, nm = counts
+    the phase-2 build.
+
+    `counts` is STATIC: (n_add, n_mult, fast_a1, fast_m1) with the fast
+    flags from build_wiring (16-bit segment path)."""
+    na, nm = counts[0], counts[1]
+    fa1 = counts[2] if len(counts) > 2 else False
+    fm1 = counts[3] if len(counts) > 3 else False
     if pallas:
         from . import pallas_kernels as PK
         w_T = w_dev.T
@@ -292,7 +355,7 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
             wa = eqz_T[:, wiring.a1_out]
             prod_a = _mmul_T(wa, w_T[:, wiring.a1_in])
             ha1_rel, ha2_rel = _seg_sorted_T(
-                wiring.a1_hib, [wa, prod_a], n)
+                wiring.a1_hib, [wa, prod_a], n, fast=fa1)
             ha1 = PK.pl_normalize_T(ha1_rel)
             ha2 = PK.pl_normalize_T(ha2_rel)
         else:
@@ -300,7 +363,7 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
         if nm:
             wm = eqz_T[:, wiring.m1_out]
             prod_m = _mmul_T(wm, w_T[:, wiring.m1_in])
-            (hm_rel,) = _seg_sorted_T(wiring.m1_hib, [prod_m], n)
+            (hm_rel,) = _seg_sorted_T(wiring.m1_hib, [prod_m], n, fast=fm1)
             hm = PK.pl_normalize_T(hm_rel)
         else:
             hm = zt
@@ -310,11 +373,12 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     if na:
         wa = eqz[wiring.a1_out]
         prod_a = L.mont_mul(wa, w_dev[wiring.a1_in])
-        ha1_rel, ha2_rel = _seg_sorted(wiring.a1_hib, [wa, prod_a], n)
+        ha1_rel, ha2_rel = _seg_sorted(wiring.a1_hib, [wa, prod_a], n,
+                                       fast=fa1)
     if nm:
         wm = eqz[wiring.m1_out]
         prod_m = L.mont_mul(wm, w_dev[wiring.m1_in])
-        (hm_rel,) = _seg_sorted(wiring.m1_hib, [prod_m], n)
+        (hm_rel,) = _seg_sorted(wiring.m1_hib, [prod_m], n, fast=fm1)
     zeros = jnp.zeros((n, 16), jnp.uint32)
     ha1 = L.normalize_relaxed(ha1_rel) if na else zeros
     ha2 = L.normalize_relaxed(ha2_rel) if na else zeros
@@ -327,8 +391,11 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
 def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
     """Phase-2 prep: eq(b*) table + the FA and FM*W~(b*) tables, stacked
     with W — layouts as in _build_phase1 (`eqz` arrives in the matching
-    layout: (16, 2^kc) when pallas, (2^kc, 16) otherwise)."""
-    na, nm = counts
+    layout: (16, 2^kc) when pallas, (2^kc, 16) otherwise).  `counts` is
+    STATIC: (n_add, n_mult, fast_a2, fast_m2)."""
+    na, nm = counts[0], counts[1]
+    fa2 = counts[2] if len(counts) > 2 else False
+    fm2 = counts[3] if len(counts) > 3 else False
     if pallas:
         from . import pallas_kernels as PK
         w_T = w_dev.T
@@ -336,13 +403,13 @@ def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
         zt = jnp.zeros((16, n), jnp.uint32)
         if na:
             wa2 = _mmul_T(eqz[:, wiring.a2_out], eqb_T[:, wiring.a2_l])
-            (fa_rel,) = _seg_sorted_T(wiring.a2_hib, [wa2], n)
+            (fa_rel,) = _seg_sorted_T(wiring.a2_hib, [wa2], n, fast=fa2)
             fa = PK.pl_normalize_T(fa_rel)
         else:
             fa = zt
         if nm:
             wm2 = _mmul_T(eqz[:, wiring.m2_out], eqb_T[:, wiring.m2_l])
-            (fm_rel,) = _seg_sorted_T(wiring.m2_hib, [wm2], n)
+            (fm_rel,) = _seg_sorted_T(wiring.m2_hib, [wm2], n, fast=fm2)
             fmwb = PK.pl_normalize_mul_T(fm_rel, wb)
         else:
             fmwb = zt
@@ -350,10 +417,10 @@ def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
     eqb = L.eq_table_device(b_star)
     if na:
         wa2 = L.mont_mul(eqz[wiring.a2_out], eqb[wiring.a2_l])
-        (fa_rel,) = _seg_sorted(wiring.a2_hib, [wa2], n)
+        (fa_rel,) = _seg_sorted(wiring.a2_hib, [wa2], n, fast=fa2)
     if nm:
         wm2 = L.mont_mul(eqz[wiring.m2_out], eqb[wiring.m2_l])
-        (fm_rel,) = _seg_sorted(wiring.m2_hib, [wm2], n)
+        (fm_rel,) = _seg_sorted(wiring.m2_hib, [wm2], n, fast=fm2)
     zeros = jnp.zeros((n, 16), jnp.uint32)
     fa = L.normalize_relaxed(fa_rel) if na else zeros
     fm = L.normalize_relaxed(fm_rel) if nm else zeros
@@ -417,8 +484,6 @@ _hash3 = jax.jit(lambda c2, c1, c0: MD.multi_hash_dev([c2, c1, c0]))
 
 _fold = jax.jit(L.fold_tables)
 
-_stack3 = jax.jit(lambda rows: jnp.stack(rows))
-
 
 PALLAS_HASH = True   # in-VMEM MiMC: 5.6 ms/hash vs 55 ms XLA scan (v5e)
 
@@ -432,42 +497,122 @@ def _hash_round(c2, c1, c0, length, use_pallas):
     return _hash3(c2, c1, c0) if length == 3 else _hash2(c1, c0)
 
 
-def _run_phase(S, first_round, rounds, sched, use_pallas, phase2_wb=None,
-               in_T=False):
-    """Python-driven, device-resident round chain with true-halving folds.
-    `S` arrives in (m, t, 16) row layout, or already transposed to
-    (t, 16, m) when `in_T` (the Pallas builds emit that directly).
-    Returns (final (1, t, 16) row-layout stack, coeff rows, challenges) —
-    all still on device."""
-    if use_pallas:
-        from . import pallas_kernels as PK
+_INV2_POWS_CACHE: dict = {}
+
+
+def _inv2_pows(k: int):
+    """(k, 16) Montgomery limbs of 2^-idx mod p, idx = 0..k-1 — the
+    replication rescale factors for the scan phase program."""
+    t = _INV2_POWS_CACHE.get(k)
+    if t is None:
+        inv2 = pow(2, P - 2, P)
+        vals, cur = [], 1
+        for _ in range(k):
+            vals.append(cur)
+            cur = cur * inv2 % P
+        t = L.pack(vals)
+        _INV2_POWS_CACHE[k] = t
+    return t
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _phase_scan(S_T, wb, inv_pows, is3, phase: int):
+    """ONE compiled program for an entire sumcheck phase on the Pallas
+    path: lax.scan over the v/2 rounds of eval + interpolation + in-VMEM
+    MiMC7 + fold.
+
+    Round 2 drove the rounds as ~3 dispatches each; through the tunneled
+    device each dispatch costs ~1 ms of enqueue latency, so the 40 rounds
+    of a 2^20 layer spent ~114 ms on dispatch against ~15 ms of compute
+    (scripts/profile_fused.py).  One scan program per phase makes the
+    round chain 2 dispatches per LAYER, and compiles each Mosaic kernel
+    exactly ONCE per (n, phase) instead of once per halved table size.
+
+    Shape invariance comes from the REPLICATED fold (pl_fold_rep): the
+    physical buffer keeps size n with each logical entry repeated 2^idx
+    times contiguously, so evaluations are 2^idx x the true sums and are
+    rescaled in-program by inv_pows[idx] = 2^-idx (exact mod p).  Traffic
+    is O(n) per round instead of the halving O(n) total — ~20 ms/layer at
+    2^20, bought back many times over in dispatch latency.
+
+    `is3` is the TRACED per-round coefficient-count schedule (True = hash
+    3 coefficients), so one compiled program serves every wiring/support
+    structure of the same table size."""
+    from . import pallas_kernels as PK
+
+    def body(S, xs):
+        is3_j, inv_j = xs
+        y = (PK.pl_phase1_eval(S) if phase == 1
+             else PK.pl_phase2_eval(S, wb))
+        y = L.mul_scalar(y, inv_j)              # undo replication factor
+        c2, c1, c0 = _interp3(y[0], y[1], y[2])
+        r = lax.cond(
+            is3_j,
+            lambda: PK.pl_mimc_multi(jnp.stack([c2, c1, c0])),
+            lambda: PK.pl_mimc_multi(jnp.stack([c1, c0])))
+        return PK.pl_fold_rep(S, r), (jnp.stack([c2, c1, c0]), r)
+
+    S_fin, (coeffs, rs) = lax.scan(body, S_T, (is3, inv_pows))
+    return S_fin, coeffs, rs
+
+
+SCAN_MAX = 1 << 15   # table size at which the round chain enters the scan
+                     # program: above it eval is VPU-compute-bound and true
+                     # halving wins; below it rounds are dispatch-bound
+                     # (~1 ms enqueue through the tunnel vs ~0.5 ms compute)
+                     # and one fixed-shape scan program wins
+
+
+def _run_phase_pallas(S_T, sched_phase, phase, wb):
+    """Pallas round chain: eager true-halving rounds while the table is
+    large (compute-bound), then ONE lax.scan program (_phase_scan) for the
+    dispatch-bound tail.  Returns (final stack, (k,3,16) coeffs, (k,16)
+    challenges) on device; the final stack is replication-invariant, so
+    [t][:, 0] is the fully-bound value."""
+    from . import pallas_kernels as PK
+
+    kp = len(sched_phase)
+    co_list, rs_list = [], []
+    idx = 0
+    while S_T.shape[-1] > SCAN_MAX and idx < kp:
+        c2, c1, c0 = (_p1_round_T(S_T) if phase == 1
+                      else _p2_round_T(S_T, wb))
+        r = _hash_round(c2, c1, c0, sched_phase[idx], True)
+        co_list.append(jnp.stack([c2, c1, c0]))
+        rs_list.append(r)
+        S_T = PK.pl_fold(S_T, r)
+        idx += 1
+    rest = kp - idx
+    if rest:
+        is3 = jnp.asarray([sched_phase[idx + j] == 3 for j in range(rest)])
+        S_T, co_s, rs_s = _phase_scan(S_T, wb, _inv2_pows(rest), is3, phase)
+        if co_list:
+            co = jnp.concatenate([jnp.stack(co_list), co_s])
+            rs = jnp.concatenate([jnp.stack(rs_list), rs_s])
+        else:
+            co, rs = co_s, rs_s
+    else:
+        co, rs = jnp.stack(co_list), jnp.stack(rs_list)
+    return S_T, co, rs
+
+
+def _run_phase_xla(S, first_round, rounds, sched, phase2_wb=None,
+                   use_pallas=False):
+    """Eager per-round chain in row layout (XLA ops) — the CPU path and
+    the small-table TPU path, where the per-size programs are cheap to
+    compile and dispatch latency is negligible (CPU) or the table is tiny
+    (TPU).  On TPU (`use_pallas`) the Fiat-Shamir hash still runs in the
+    Mosaic MiMC kernel (the XLA scan costs ~55 ms/hash on a v5e)."""
     coeff_rows = []
     r_list = []
-    m = S.shape[-1] if in_T else S.shape[0]
-    on_pallas = use_pallas and m >= PALLAS_MIN
-    if in_T and not on_pallas:
-        S = PK.from_T(S)
-        in_T = False
-    elif on_pallas and not in_T:
-        S = PK.to_T(S)
     for idx in range(rounds):
         j = first_round + idx
-        if on_pallas:
-            c2, c1, c0 = (_p1_round_T(S) if phase2_wb is None
-                          else _p2_round_T(S, phase2_wb))
-        else:
-            c2, c1, c0 = (_p1_round(S) if phase2_wb is None
-                          else _p2_round(S, phase2_wb))
+        c2, c1, c0 = (_p1_round(S) if phase2_wb is None
+                      else _p2_round(S, phase2_wb))
         r = _hash_round(c2, c1, c0, sched[j - 1], use_pallas)
         coeff_rows.append(jnp.stack([c2, c1, c0]))
         r_list.append(r)
-        if on_pallas:
-            S = PK.pl_fold(S, r)
-            if S.shape[-1] < PALLAS_MIN:
-                S = PK.from_T(S)
-                on_pallas = False
-        else:
-            S = _fold(S, r)
+        S = _fold(S, r)
     return S, coeff_rows, r_list
 
 
@@ -522,21 +667,34 @@ def prove_layer_sumcheck_fused(
         wiring = build_wiring(add_gates, mult_gates, n)
 
     pallas_build = use_pallas and n >= PALLAS_MIN
+    fast = wiring.fast
     S1, eqz = _build_phase1(w_dev, z_dev, wiring,
-                            (na, nm), n, pallas_build)
-    S1, rows1, rs1 = _run_phase(S1, 1, k, sched, use_pallas,
-                                in_T=pallas_build)
-    wb = S1[0, 0]
+                            (na, nm, fast[0], fast[1]), n, pallas_build)
+    if pallas_build:
+        S1, co1, rs1 = _run_phase_pallas(S1, sched[:k], 1,
+                                         jnp.zeros((16,), jnp.uint32))
+        wb = S1[0, :, 0]          # replication-invariant final stack
+        b_star = rs1
+    else:
+        S1, rows1, rs1_list = _run_phase_xla(S1, 1, k, sched,
+                                             use_pallas=use_pallas)
+        wb = S1[0, 0]
+        b_star = jnp.stack(rs1_list)
+        co1, rs1 = jnp.stack(rows1), b_star
 
-    b_star = _stack3(rs1)
     S2 = _build_phase2(w_dev, b_star, wb, eqz, wiring,
-                       (na, nm), n, pallas_build)
-    _, rows2, rs2 = _run_phase(S2, k + 1, k, sched, use_pallas,
-                               phase2_wb=wb, in_T=pallas_build)
+                       (na, nm, fast[2], fast[3]), n, pallas_build)
+    if pallas_build:
+        _, co2, rs2 = _run_phase_pallas(S2, sched[k:], 2, wb)
+    else:
+        _, rows2, rs2_list = _run_phase_xla(S2, k + 1, k, sched, wb,
+                                            use_pallas=use_pallas)
+        co2, rs2 = jnp.stack(rows2), jnp.stack(rs2_list)
 
     # ONE small download for the whole layer.
-    flat = L.unpack(_stack3(rows1 + rows2))      # v * 3 ints
-    rs_device = L.unpack(_stack3(rs1 + rs2))     # v ints
+    h1, h2, hr1, hr2 = jax.device_get((co1, co2, rs1, rs2))
+    flat = L.unpack(np.concatenate([h1, h2]))      # v * 3 ints
+    rs_device = L.unpack(np.concatenate([hr1, hr2]))   # v ints
 
     proof: list[list[int]] = []
     challenges: list[int] = []

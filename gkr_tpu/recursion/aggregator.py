@@ -17,9 +17,10 @@ aggregated.circom, witness.wtns, <input>_output.json.
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 from ..frontend import R1csFile, WtnsFile, compile_r1cs_to_gkr, parse_sym
 from ..prover import prove
@@ -31,10 +32,63 @@ from .templating import modify_circom_file
 
 # The reference proves the <=20 subcircuits of a round with a rayon
 # par_iter (rust/src/aggregator.rs:350-355,411-416).  Here each subcircuit
-# is an independent transcript, so a thread pool is safe; it pipelines the
-# per-subcircuit host prep against device compute (JaxBackend) or runs the
-# GIL-releasing native engine concurrently (CppBackend).
+# is an independent transcript, so any pool is safe; the pool KIND matters:
+#   * default HostBackend (pure-Python big ints): the GIL serializes
+#     threads, so real speedup needs a PROCESS pool (spawn workers; ~2.5 s
+#     startup each in this environment, amortized over large proofs and
+#     skipped below PROCESS_MIN_GATES);
+#   * per-thread backends via backend_factory (JaxBackend/CppBackend):
+#     threads pipeline host prep against device compute / GIL-releasing
+#     native code.
 MAX_PROVE_WORKERS = 8
+PROCESS_MIN_GATES = 1 << 13     # total gates below which spawn cost loses
+
+
+def _prove_subcircuit_task(args):
+    """Module-level worker (picklable) for the process pool."""
+    circuit, w_values, check = args
+    proof = prove(circuit, w_values)
+    if check:
+        assert verify_proof(proof, circuit), "self-verification failed"
+    return proof
+
+
+def prove_subcircuits(circuits, w_values_list, backend=None,
+                      backend_factory=None, check_verify: bool = True,
+                      max_workers: int = MAX_PROVE_WORKERS):
+    """Prove all subcircuits of one aggregation round — the rayon par_iter
+    analog (rust/src/aggregator.rs:350-355).  See MAX_PROVE_WORKERS note
+    for the pool-kind rationale; measured scaling is recorded in
+    PARALLEL_r03.json (scripts/bench_subcircuits.py)."""
+
+    def prove_one(idx: int):
+        b = backend_factory() if backend_factory is not None else backend
+        proof = prove(circuits[idx], w_values_list[idx], backend=b)
+        if check_verify:
+            assert verify_proof(proof, circuits[idx]), \
+                f"self-verification failed (subcircuit {idx})"
+        return proof
+
+    nsub = len(circuits)
+    if nsub <= 1:
+        return [prove_one(i) for i in range(nsub)]
+    workers = min(max_workers, nsub)
+    if backend_factory is not None:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(prove_one, range(nsub)))
+    if backend is not None:
+        # one shared stateful backend instance: not safe to share across
+        # threads; sequential (pass backend_factory to parallelize)
+        return [prove_one(i) for i in range(nsub)]
+    total = sum(sum(layer.n_gates() for layer in c.layers)
+                for c in circuits)
+    if total < PROCESS_MIN_GATES:
+        return [prove_one(i) for i in range(nsub)]
+    ctx = multiprocessing.get_context("spawn")   # never fork XLA threads
+    tasks = [(circuits[i], w_values_list[i], check_verify)
+             for i in range(nsub)]
+    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
+        return list(pool.map(_prove_subcircuit_task, tasks))
 
 
 def _phase(label: str, t0: float) -> float:
@@ -59,25 +113,9 @@ def _convert_and_prove(name: str, root_path: str, input_name: str,
     t0 = _phase("convert", t0)
 
     print("Proving starts..")
-
-    def prove_one(idx: int):
-        b = backend_factory() if backend_factory is not None else backend
-        proof = prove(circuits[idx], w_values_list[idx], backend=b)
-        if check_verify:
-            assert verify_proof(proof, circuits[idx]), \
-                f"self-verification failed (subcircuit {idx})"
-        return proof
-
-    # A single shared stateful backend (e.g. one JaxBackend instance) is not
-    # thread-safe across proofs; parallelize only when each task can get its
-    # own backend (factory) or the default stateless HostBackend.
-    parallel_ok = backend is None or backend_factory is not None
-    if len(circuits) > 1 and parallel_ok:
-        workers = min(MAX_PROVE_WORKERS, len(circuits))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            proofs = list(pool.map(prove_one, range(len(circuits))))
-    else:
-        proofs = [prove_one(i) for i in range(len(circuits))]
+    proofs = prove_subcircuits(circuits, w_values_list, backend=backend,
+                               backend_factory=backend_factory,
+                               check_verify=check_verify)
     t0 = _phase("prove", t0)
 
     out_path = os.path.join(workdir, root_path, f"{input_name}_output.json")

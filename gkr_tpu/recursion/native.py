@@ -412,11 +412,8 @@ def prove_round_native(user_fn, user_input: dict,
     verifier gadget scaling with its proof depth, so splitting multiplies
     the recursion's growth rate by ~#subcircuits.  Pass 20 for
     reference-parity round shapes (and intra-round task parallelism)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..frontend.compiler import compile_r1cs_to_gkr
-    from ..prover import prove
-    from ..verifier import verify as verify_proof
+    from .aggregator import prove_subcircuits
 
     b = ConstraintBuilder()
     user_fn(b, user_input)
@@ -435,19 +432,8 @@ def prove_round_native(user_fn, user_input: dict,
     r1cs, wtns = builder_to_r1cs(b)
     circuits, w_values_list, _ = compile_r1cs_to_gkr(
         r1cs, wtns, check=True, width_limit=width_limit)
-
-    def prove_one(idx):
-        proof = prove(circuits[idx], w_values_list[idx], backend=backend)
-        if check_verify:
-            assert verify_proof(proof, circuits[idx]), \
-                f"self-verification failed (subcircuit {idx})"
-        return proof
-
-    if len(circuits) > 1 and backend is None:
-        with ThreadPoolExecutor(max_workers=min(8, len(circuits))) as pool:
-            proofs = list(pool.map(prove_one, range(len(circuits))))
-    else:
-        proofs = [prove_one(i) for i in range(len(circuits))]
+    proofs = prove_subcircuits(circuits, w_values_list, backend=backend,
+                               check_verify=check_verify)
     return list(zip(proofs, circuits)), b
 
 

@@ -11,6 +11,7 @@ like the reference."""
 from __future__ import annotations
 
 import os
+import re
 
 VERIFIER_CIRCUIT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "circuits", "gkr_verifier.circom")
@@ -75,26 +76,69 @@ def render_verifier_block(metas: list[list[int]]) -> str:
     return "".join(parts)
 
 
+_MAIN_RE = re.compile(
+    r"component\s+main\s*(?:\{[^}]*\})?\s*=\s*(\w+)\s*\(")
+
+
+def _main_template_close(lines: list[str]) -> int | None:
+    """Line index of the closing brace of the template instantiated as
+    `component main = Name(...)`, or None if it cannot be located.
+
+    The reference inserts at the FIRST bare `}` line
+    (aggregator.rs:298-306), which silently corrupts any user file whose
+    main template is not the first one.  Locating the main template fixes
+    multi-template files; single-template files (like the reference's
+    t.circom) produce byte-identical output either way."""
+    name = None
+    for line in lines:
+        m = _MAIN_RE.search(line)
+        if m:
+            name = m.group(1)
+            break
+    if name is None:
+        return None
+    tpl_re = re.compile(r"\btemplate\s+" + re.escape(name) + r"\s*\(")
+    depth = 0
+    inside = False
+    for idx, line in enumerate(lines):
+        if not inside:
+            if tpl_re.search(line):
+                inside = True
+                depth = line.count("{") - line.count("}")
+                if depth <= 0 and "{" in line:
+                    return idx
+        else:
+            depth += line.count("{") - line.count("}")
+            if depth <= 0:
+                return idx
+    return None
+
+
 def modify_circom_file(path: str, metas: list[list[int]],
                        out_path: str = "aggregated.circom",
                        verifier_include: str | None = None) -> str:
     """Splice the verifier block into the user's circom source
     (aggregator.rs:292-314 line-level semantics: include after the pragma,
-    block before the first bare closing brace)."""
+    block before the closing brace of the MAIN template — located by
+    instantiation, falling back to the reference's first-bare-`}` rule
+    when no `component main = ...` can be parsed)."""
     include = verifier_include or VERIFIER_CIRCUIT
     with open(path) as f:
         content = f.read()
 
     block = render_verifier_block(metas)
+    lines = content.splitlines()
+    close_idx = _main_template_close(lines)
     out_lines = []
     added = False
-    for line in content.splitlines():
+    for idx, line in enumerate(lines):
         if line.startswith("pragma circom"):
             out_lines.append(line)
             out_lines.append(f'include "{include}";')
-        elif line.strip() == "}" and not added:
+        elif not added and (idx == close_idx if close_idx is not None
+                            else line.strip() == "}"):
             out_lines.append(block)
-            out_lines.append("}")
+            out_lines.append(line if close_idx is not None else "}")
             added = True
         else:
             out_lines.append(line)

@@ -1,9 +1,11 @@
 """Per-piece timing of the fused engine at 2^k on the current device.
 
-Usage: PYTHONPATH=.:/root/.axon_site python scripts/profile_fused.py [k]
+Usage: PYTHONPATH=.:/root/.axon_site python -u scripts/profile_fused.py [k]
 
-Enables the persistent compilation cache so repeated profiling runs skip
-the ~12 min Mosaic/XLA warmup.
+Times every sub-piece of the builds (gathers, mont-mul, cumsum segment
+sum, boundary gathers, normalize) and of the rounds (eval, fold, MiMC,
+per-round Python dispatch) so optimization targets are measured, not
+guessed.
 """
 
 from __future__ import annotations
@@ -56,12 +58,10 @@ def main():
     z = [rng.randrange(P) for _ in range(k_cur)]
     z_dev = L.pack(z)
     na = nm = n // 2
-    t0 = time.time()
     add_gates = [(g & 15, rng.randrange(n), rng.randrange(n))
                  for g in range(na)]
     mult_gates = [(g & 15, rng.randrange(n), rng.randrange(n))
                   for g in range(nm)]
-    print(f"synth gates: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
     wiring = build_wiring(add_gates, mult_gates, n)
@@ -74,31 +74,60 @@ def main():
         from gkr_tpu.jaxeng import pallas_kernels as PK
         tick("pallas MiMC multi_hash(3)",
              lambda: PK.pl_mimc_multi(jnp.stack([c, c, c])))
-    tick("XLA MiMC hash3", lambda: F._hash3(c, c, c))
 
-    tick("build_phase1", lambda: F._build_phase1(
-        w_dev, z_dev, wiring, (na, nm), n, use_pallas))
-    S1, wa, wm = F._build_phase1(w_dev, z_dev, wiring,
-                                 (na, nm), n, use_pallas)
-    b_star = jnp.stack([L.pack_scalar(rng.randrange(P)) for _ in range(k)])
-    wb = L.pack_scalar(rng.randrange(P))
-    tick("eq_table 2^k", lambda: L.jeq_table(b_star))
-    tick("build_phase2", lambda: F._build_phase2(
-        w_dev, b_star, wb, wa, wm, wiring, (na, nm), n, use_pallas))
+        # ---- build sub-pieces (transposed layout), all jitted standalone
+        w_T = jnp.asarray(w_dev.T)
+        eqz_T = jax.jit(PK.pl_eq_table_T)(z_dev)
+        jax.block_until_ready((w_T, eqz_T))
+        ga = wiring.a1_out
+        gin = wiring.a1_in
+        hib = wiring.a1_hib
 
-    if use_pallas:
-        S1T = S1 if S1.ndim == 3 and S1.shape[0] == 4 else PK.to_T(S1)
-        tick("pallas p1 eval+interp (full n)",
-             lambda: F._p1_round_T(S1T))
-        tick("pallas fold (full n)", lambda: PK.pl_fold(S1T, c))
-    else:
-        S1r = S1 if S1.ndim == 3 and S1.shape[1] == 4 else None
-        if S1r is not None:
-            tick("XLA p1 eval+interp (full n)", lambda: F._p1_round(S1r))
-            tick("XLA fold (full n)", lambda: F._fold(S1r, c))
+        gather_eq = jax.jit(lambda e, idx: e[:, idx])
+        tick("gather eqz (16,G)", lambda: gather_eq(eqz_T, ga))
+        wa = gather_eq(eqz_T, ga)
+        tick("gather w (16,G)", lambda: gather_eq(w_T, gin))
+        wg = gather_eq(w_T, gin)
+        tick("pl_mont_mul_T (16,G)", lambda: PK.pl_mont_mul_T(wa, wg))
+        prod = PK.pl_mont_mul_T(wa, wg)
+
+        seg = jax.jit(lambda h, a, b, nn=n: F._seg_sorted_T(h, [a, b], nn))
+        tick("seg_sorted_T 2 tables", lambda: seg(hib, wa, prod))
+        rel = seg(hib, wa, prod)[0]
+
+        split = jax.jit(lambda ws: jnp.cumsum(
+            jnp.concatenate([ws & jnp.uint32(0xFF), ws >> 8], axis=0),
+            axis=1, dtype=jnp.uint32))
+        tick("  cumsum(32,G) alone", lambda: split(wa))
+        C = split(wa)
+        Cz = jnp.concatenate([jnp.zeros((32, 1), jnp.uint32), C], axis=1)
+        bnd = jax.jit(lambda cz, h: cz[:, h] - cz[:, jnp.concatenate(
+            [jnp.zeros((1,), h.dtype), h[:-1]])])
+        tick("  boundary gathers (32,n)x2", lambda: bnd(Cz, hib))
+        tick("pl_normalize_T (18,n)", lambda: PK.pl_normalize_T(rel))
+
+        tick("build_phase1 (total)", lambda: F._build_phase1(
+            w_dev, z_dev, wiring, (na, nm), n, True))
+        S1, eqz = F._build_phase1(w_dev, z_dev, wiring, (na, nm), n, True)
+        b_star = jnp.stack([L.pack_scalar(rng.randrange(P))
+                            for _ in range(k)])
+        wb = L.pack_scalar(rng.randrange(P))
+        tick("pl_eq_table_T 2^k", lambda: jax.jit(PK.pl_eq_table_T)(b_star))
+        tick("build_phase2 (total)", lambda: F._build_phase2(
+            w_dev, b_star, wb, eqz, wiring, (na, nm), n, True))
+
+        # ---- round pieces at a few sizes
+        S = S1
+        for kk in (k, k - 4, k - 8):
+            m = 1 << kk
+            Sm = S[:, :, :m]
+            tick(f"p1 eval+interp m=2^{kk}", lambda Sm=Sm: F._p1_round_T(Sm))
+            tick(f"pl_fold m=2^{kk}", lambda Sm=Sm: PK.pl_fold(Sm, c))
+            y = PK.pl_phase1_eval(Sm)
+        tick("interp3 alone (XLA, tiny)",
+             lambda: jax.jit(F._interp3)(y[0], y[1], y[2]))
 
     struct = MleStruct(k, False, [True] * k, k)
-    # warm full layer (compiles every halved shape), then time
     t0 = time.time()
     F.prove_layer_sumcheck_fused(z, None, add_gates, mult_gates, k_cur, k,
                                  struct, Mimc7(), w_dev=w_dev,
