@@ -37,10 +37,11 @@ Prints ONE JSON line.  Fields:
   breakdown_ms            : build1/build2/rounds+hash split, milliseconds
 
 GKR_BENCH_K overrides k.  GKR_BENCH_EXTRA=1 additionally runs a 2^16-layer
-config and a FULL multi-layer prove (layer walk + mle_struct +
-restrict_to_line + sparse_from_dense + full-strength host verify) and
-emits them under "extra" in the same JSON line; the recorded sweep for
-round 3 is committed as BENCH_extra_r03.json.
+config, the 2^24 scaling config (GKR_BENCH_TOPK overrides; 0 skips), and a
+FULL multi-layer prove (layer walk + mle_struct + restrict_to_line +
+sparse_from_dense + full-strength host verify), emitted under "extra" in
+the same JSON line; the recorded sweep for round 3 is committed as
+BENCH_extra_r03.json.
 """
 
 from __future__ import annotations
@@ -53,12 +54,10 @@ import time
 
 
 def _enable_device_cache():
-    import jax
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache-device")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # gkr_tpu.jaxeng configures the persistent compilation cache
+    # (GKR_TPU_JAX_CACHE, default ~/.cache/gkr_tpu_jax) at import; importing
+    # it here makes the cache active before any compile.
+    import gkr_tpu.jaxeng  # noqa: F401
 
 
 def synth_layer(rng: random.Random, k: int, k_cur: int = 4):
@@ -125,42 +124,63 @@ OPS_PER_MONT_MUL = 2940
 
 def _measure_vpu_peak():
     """Measured elementwise u32 multiply rate (Gop/s) inside a VMEM kernel
-    — the silicon anchor for vpu_min_ms.  Uses a 16-deep in-register chain
-    so HBM traffic is negligible."""
+    — the silicon anchor for vpu_min_ms.
+
+    Measured as a MARGINAL rate between a shallow and a deep multiply
+    chain (8 independent accumulators for ILP): through the tunneled
+    device every forced sync pays a ~23 ms round-trip floor and
+    `block_until_ready` alone does not actually block (axon), so an
+    absolute wall-clock rate under-reads by orders of magnitude.  The
+    difference between the two depths cancels the fixed sync cost.
+    Completion is forced by device_get of one scalar."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, ROWS, BLOCK, REPS = 1 << 20, 16, 1 << 11, 16
+    N, ROWS, BLOCK, CHAINS = 1 << 20, 16, 1 << 11, 8
 
-    def kernel(a_ref, b_ref, o_ref):
-        a, b = a_ref[:], b_ref[:]
-        acc = a
-        for _ in range(REPS):
-            acc = acc * b
-        o_ref[:] = acc
+    def make(reps):
+        def kernel(a_ref, b_ref, o_ref):
+            a, b = a_ref[:], b_ref[:]
+            accs = [a + jnp.uint32(i) for i in range(CHAINS)]
+            for _ in range(reps):
+                accs = [acc * b for acc in accs]
+            out = accs[0]
+            for acc in accs[1:]:
+                out = out + acc
+            o_ref[:] = out
 
-    @jax.jit
-    def run(a, b):
-        return pl.pallas_call(
-            kernel, grid=(N // BLOCK,),
-            in_specs=[pl.BlockSpec((ROWS, BLOCK), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec((ROWS, BLOCK), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ROWS, N), jnp.uint32))(a, b)
+        @jax.jit
+        def run(a, b):
+            r = pl.pallas_call(
+                kernel, grid=(N // BLOCK,),
+                in_specs=[pl.BlockSpec((ROWS, BLOCK), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec((ROWS, BLOCK), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((ROWS, N), jnp.uint32))(a, b)
+            return r[0, 0]
+        return run
 
     a = jax.random.randint(jax.random.PRNGKey(0), (ROWS, N), 1, 1 << 15,
                            jnp.int32).astype(jnp.uint32)
-    run(a, a).block_until_ready()
-    best = None
-    for _ in range(5):
-        t0 = time.time()
-        run(a, a).block_until_ready()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    return ROWS * N * REPS / best / 1e9
+
+    def best_s(run):
+        jax.device_get(run(a, a))
+        best = None
+        for _ in range(5):
+            t0 = time.time()
+            jax.device_get(run(a, a))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    lo_reps, hi_reps = 16, 128
+    lo, hi = best_s(make(lo_reps)), best_s(make(hi_reps))
+    if hi - lo <= 1e-4:
+        raise RuntimeError("vpu peak unmeasurable (marginal time ~ 0)")
+    return ROWS * N * (hi_reps - lo_reps) * CHAINS / (hi - lo) / 1e9
 
 
 def _min_hbm_bytes(n: int, na: int, nm: int) -> int:
@@ -189,7 +209,7 @@ def _min_hbm_bytes(n: int, na: int, nm: int) -> int:
     return rounds + builds
 
 
-def run_device(k: int):
+def run_device(k: int, breakdown: bool = True):
     import jax
 
     from gkr_tpu.mimc import Mimc7
@@ -217,20 +237,46 @@ def run_device(k: int):
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
 
-    # breakdown: builds timed standalone; rounds+hash = remainder
+    if not breakdown:
+        # skip the standalone stage timings: they hold the full table
+        # stack alive while rebuilding it, doubling peak HBM — at 2^24
+        # that is the difference between fitting and ResourceExhausted
+        return best, None, None, None
+
+    # breakdown: builds timed standalone; rounds+hash = remainder.
+    # Through the tunneled device `block_until_ready` does NOT actually
+    # block and any forced sync (device_get) pays a ~23 ms round-trip
+    # floor, so standalone stages are timed MARGINALLY: enqueue `lo` vs
+    # `hi` repetitions, drain with one scalar device_get, and divide the
+    # difference — the fixed sync cost cancels.
     use_pallas = F._pallas_platform()
     pallas_build = use_pallas and n >= F.PALLAS_MIN
     z_dev = L.pack(z)
     na, nm = len(ag), len(mg)
 
-    def tt(fn, reps=3):
-        r = fn()
-        jax.block_until_ready(r)
-        t0 = time.time()
-        for _ in range(reps):
-            r = fn()
-        jax.block_until_ready(r)
-        return (time.time() - t0) / reps
+    def _first_leaf(r):
+        import jax.numpy as jnp
+        leaves = jax.tree_util.tree_leaves(r)
+        a = leaves[0]
+        return a.reshape(-1)[0] if hasattr(a, "reshape") else jnp.uint32(0)
+
+    def tt(fn, lo=1, hi=4):
+        def run(reps):
+            r = None
+            for _ in range(reps):
+                r = fn()
+            jax.device_get(_first_leaf(r))
+
+        run(1)                               # warm
+        def best_s(reps):
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                run(reps)
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            return best
+        return max(best_s(hi) - best_s(lo), 0.0) / (hi - lo)
 
     c1 = (na, nm, wiring.fast[0], wiring.fast[1])
     c2 = (na, nm, wiring.fast[2], wiring.fast[3])
@@ -244,15 +290,39 @@ def run_device(k: int):
     b2 = tt(lambda: F._build_phase2(w_dev, b_star, wb, eqz, wiring,
                                     c2, n, pallas_build))
 
-    # standalone Pallas mont_mul peak (compute speed-of-light proxy)
+    # standalone Pallas mont_mul peak (compute speed-of-light proxy).
+    # CHAINED marginal timing: x = mul(x, b) depth-d inside one program —
+    # repeated identical un-chained calls are coalesced by the tunneled
+    # backend and read ~7x faster than the VPU op-count floor allows.
     peak = None
     if use_pallas:
         from gkr_tpu.jaxeng import pallas_kernels as PK
         a_t = L.jnormalize(jax.random.randint(
             jax.random.PRNGKey(0), (n, 16), 0, 1 << 15,
             dtype=jnp.int32).astype(jnp.uint32)).T  # (16, n) kernel layout
-        dt_m = tt(lambda: PK.pl_mont_mul_T(a_t, a_t))
-        peak = n / dt_m
+
+        def chain(depth):
+            @jax.jit
+            def f(x):
+                for _ in range(depth):
+                    x = PK.pl_mont_mul_T(x, a_t)
+                return x[0, 0]
+            return f
+
+        def best_chain(depth):
+            f = chain(depth)
+            jax.device_get(f(a_t))
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                jax.device_get(f(a_t))
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            return best
+
+        lo_d, hi_d = 1, 5
+        dt_m = (best_chain(hi_d) - best_chain(lo_d)) / (hi_d - lo_d)
+        peak = n / dt_m if dt_m > 0 else None
 
     return best, b1, b2, peak
 
@@ -404,11 +474,33 @@ def main() -> int:
     except Exception as e:  # pragma: no cover
         roofline = {"error": str(e)}
 
+    # fixed device<->host sync round-trip (the tunnel RTT a co-located
+    # production host would not pay; included once in layer_ms via the
+    # one per-layer download)
+    rtt = None
+    try:
+        import jax
+        import jax.numpy as jnp
+        f_tiny = jax.jit(lambda x: x + 1)
+        x0 = jnp.zeros((16,), jnp.uint32)
+        jax.device_get(f_tiny(x0))          # warm (compile)
+        for _ in range(5):
+            t0 = time.time()
+            # fresh output array each time: device_get of an
+            # already-fetched array is free and would read 0
+            jax.device_get(f_tiny(x0))
+            dt_r = time.time() - t0
+            rtt = dt_r if rtt is None or dt_r < rtt else rtt
+    except Exception:  # pragma: no cover
+        pass
+
     out.update({
         "value": round(device_rate, 1),
         "vs_baseline": round(device_rate / baseline, 2),
         "cpp_gates_per_sec": round(cpp_rate, 1) if cpp_rate else None,
         "cpp_measured_at": f"2^{cpp_k}",
+        "host_cpus": os.cpu_count(),
+        "sync_rtt_ms": round(rtt * 1000, 1) if rtt else None,
         "host_py_gates_per_sec": round(host_rate, 1),
         "layer_ms": round(dt * 1000, 1),
         "sumcheck_rounds_per_sec": round(v / dt, 1),
@@ -424,20 +516,35 @@ def main() -> int:
 
     if os.environ.get("GKR_BENCH_EXTRA", "") == "1":
         extra = {}
-        dt16, _, _, _ = run_device(16)
+        dt16, _, _, _ = run_device(16, breakdown=False)
         extra["layer_2e16"] = {"gates_per_sec": round((1 << 16) / dt16, 1),
                                "layer_ms": round(dt16 * 1000, 2)}
         fk = int(os.environ.get("GKR_BENCH_FULL_K", str(k)))
         fki = int(os.environ.get("GKR_BENCH_FULL_KIN", "16"))
-        gates, fdt, stages, verify_s = run_full_prove(fk, fki)
-        extra["full_prove"] = {
-            "config": f"depth-3, 2^{fk}-gate layers, 2^{fki} inputs",
-            "total_gates": gates,
-            "prove_s": round(fdt, 3),
-            "gates_per_sec": round(gates / fdt, 1),
-            "stage_s": {s: round(t, 3) for s, t in stages.items()},
-            "host_verify_s": round(verify_s, 2),
-        }
+        try:
+            gates, fdt, stages, verify_s = run_full_prove(fk, fki)
+            extra["full_prove"] = {
+                "config": f"depth-3, 2^{fk}-gate layers, 2^{fki} inputs",
+                "total_gates": gates,
+                "prove_s": round(fdt, 3),
+                "gates_per_sec": round(gates / fdt, 1),
+                "stage_s": {s: round(t, 3) for s, t in stages.items()},
+                "host_verify_s": round(verify_s, 2),
+            }
+        except Exception as e:  # pragma: no cover
+            extra["full_prove"] = {"error": str(e)}
+        # BASELINE.md's 2^24 scaling config LAST: its ~6 GB of transient
+        # stacks can leave the 16 GB HBM too fragmented for later stages
+        # (GKR_BENCH_TOPK=0 skips it on a small-memory device)
+        top_k = int(os.environ.get("GKR_BENCH_TOPK", "24"))
+        if top_k > k:
+            try:
+                dt_top, _, _, _ = run_device(top_k, breakdown=False)
+                extra[f"layer_2e{top_k}"] = {
+                    "gates_per_sec": round((1 << top_k) / dt_top, 1),
+                    "layer_ms": round(dt_top * 1000, 1)}
+            except Exception as e:  # pragma: no cover
+                extra[f"layer_2e{top_k}"] = {"error": str(e)}
         out["extra"] = extra
     print(json.dumps(out))
     return 0

@@ -14,6 +14,6 @@ _cache_dir = os.environ.get("GKR_TPU_JAX_CACHE",
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:  # pragma: no cover - older jax without these options
     pass

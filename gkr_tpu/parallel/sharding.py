@@ -34,6 +34,27 @@ Per layer the host uploads (W, z, gate partitions) and downloads one ~KB
 stack of coefficients + challenges; the transcript is re-derived on the
 host and asserted identical, so divergence is a hard failure, never silent.
 
+**Multi-host (DCN) story** — `make_mesh(hosts=H)` builds a 2-D
+("dcn", "ici") mesh; every collective here runs over ALL mesh axes, so the
+same programs execute unchanged and XLA places the traffic hierarchically:
+
+  * per-round psum: the local (3, 16)-limb sums reduce over ICI within a
+    host, then ONE 192-byte all-reduce crosses DCN per round — 2k rounds x
+    192 B per layer of cross-host traffic, latency- not bandwidth-bound;
+  * the all-gather tail (D residual values) is minor-axis-major, so the
+    bulk rides ICI and only H partial rows cross DCN;
+  * builds and folds are fully local (gate partitions are host-sharded by
+    bucket key mod D), so compute scales 1/D with zero DCN traffic.
+
+On a real multi-host slice: `jax.distributed.initialize()` per host, then
+`make_mesh(hosts=jax.process_count())` — jax.devices() is host-major,
+matching the ("dcn", "ici") layout.  The OTHER multi-host axis is task
+parallelism: independent subcircuits of an aggregation round (the
+reference's rayon par_iter, aggregator.rs:350-355) need no collectives at
+all, so each host can prove a disjoint subset with a per-host mesh —
+gkr_tpu.recursion.aggregator.prove_subcircuits with a backend_factory
+binding each worker to its host's devices.
+
 Compiled-program inventory per (D, table-size): one build per phase, one
 round program per (local size, coeff count), one tail per (sched tuple) —
 all reused across rounds, layers, circuits and processes (persistent cache).
@@ -70,12 +91,29 @@ from ..jaxeng.fused import (_interp3, _mmul_T, _seg_build_relaxed,
 PALLAS_LOCAL_MIN = 16
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int | None = None, devices=None,
+              hosts: int | None = None) -> Mesh:
+    """1-D mesh ("x",) by default; `hosts` reshapes it to a 2-D
+    ("dcn", "ici") mesh — the multi-host layout, where the major axis is
+    the slow cross-host network and the minor axis is the intra-slice ICI.
+
+    The engine's collectives are axis-agnostic (they reduce/gather over
+    ALL mesh axes), so the hierarchy matters only for TRAFFIC PLACEMENT:
+    the hypercube low bits map minor-axis-first, keeping the all-gather
+    tail and the bulk of every psum on ICI, with one (3, 16)-limb
+    (192-byte) DCN hop per sumcheck round.  On a real multi-host slice,
+    initialize jax.distributed and pass jax.devices() here — device order
+    is already host-major, matching ("dcn", "ici")."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), axis_names=("x",))
+    arr = np.asarray(devices)
+    if hosts is not None:
+        assert arr.size % hosts == 0, (hosts, arr.size)
+        return Mesh(arr.reshape(hosts, arr.size // hosts),
+                    axis_names=("dcn", "ici"))
+    return Mesh(arr, axis_names=("x",))
 
 
 def _hash_sched(c2, c1, c0, sched_len: int, use_pallas: bool = False):
@@ -120,6 +158,10 @@ class ShardedSumcheck:
         self.D = mesh.devices.size
         assert self.D & (self.D - 1) == 0, "mesh size must be a power of two"
         self.log_d = self.D.bit_length() - 1
+        # all collectives run over every mesh axis (major-to-minor), so a
+        # 2-D ("dcn", "ici") multi-host mesh works unchanged: the linear
+        # device index dcn*ICI + ici owns hypercube buckets = idx (mod D)
+        self.ax = tuple(mesh.axis_names)
         if use_pallas is None:
             use_pallas = all(d.platform not in ("cpu",)
                              for d in mesh.devices.flat)
@@ -164,11 +206,11 @@ class ShardedSumcheck:
         return self._cached("build1", self._make_build1)
 
     def _make_build1(self):
-        D = self.D
+        D, ax = self.D, self.ax
 
         def f(w_full, eqz, ga, ma, gm, mm):
             # local views: ga (1, Gp, 3) keyed by left//D, ma (1, Gp)
-            dev = lax.axis_index("x")
+            dev = lax.axis_index(ax)
             n = w_full.shape[0]
             rows = n // D
             w_loc = w_full[jnp.arange(rows, dtype=jnp.int32) * D + dev]
@@ -187,9 +229,9 @@ class ShardedSumcheck:
 
         return jax.jit(jax.shard_map(
             f, mesh=self.mesh,
-            in_specs=(PSpec(), PSpec(), PSpec("x"), PSpec("x"),
-                      PSpec("x"), PSpec("x")),
-            out_specs=PSpec("x"), check_vma=False))
+            in_specs=(PSpec(), PSpec(), PSpec(self.ax), PSpec(self.ax),
+                      PSpec(self.ax), PSpec(self.ax)),
+            out_specs=PSpec(self.ax), check_vma=False))
 
     def _build2(self, k: int):
         return self._cached(("build2", k), lambda: self._make_build2(k))
@@ -197,12 +239,12 @@ class ShardedSumcheck:
     def _make_build2(self, k: int):
         """Phase-2 build: gates partitioned by right mod D, eq(b*) factored
         into eq_hi (rows) * eq_lo (D)."""
-        D, ld = self.D, self.log_d
+        D, ld, ax = self.D, self.log_d, self.ax
 
         def f(w_full, eqz, rs_loc, rs_tail, fin, ga, ma, gm, mm):
             # phase-1 outputs arrive still on device: local-round challenges
             # (tuple of (16,)), tail challenges (ld, 16), final stack (t, 16)
-            dev = lax.axis_index("x")
+            dev = lax.axis_index(ax)
             n = w_full.shape[0]
             rows = n // D
             w_loc = w_full[jnp.arange(rows, dtype=jnp.int32) * D + dev]
@@ -230,8 +272,8 @@ class ShardedSumcheck:
         return jax.jit(jax.shard_map(
             f, mesh=self.mesh,
             in_specs=(PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
-                      PSpec("x"), PSpec("x"), PSpec("x"), PSpec("x")),
-            out_specs=PSpec("x"), check_vma=False))
+                      PSpec(self.ax), PSpec(self.ax), PSpec(self.ax), PSpec(self.ax)),
+            out_specs=PSpec(self.ax), check_vma=False))
 
     # --------------------------------------------- Pallas program variants
 
@@ -257,10 +299,10 @@ class ShardedSumcheck:
         the segment cumsum stay XLA (data movement), every Montgomery
         multiply and the REDC renormalizations run in VMEM."""
         from ..jaxeng import pallas_kernels as PK
-        D = self.D
+        D, ax = self.D, self.ax
 
         def f(w_T, eqz_T, ga, ma, gm, mm):
-            dev = lax.axis_index("x")
+            dev = lax.axis_index(ax)
             n = w_T.shape[-1]
             rows = n // D
             w_loc = w_T[:, jnp.arange(rows, dtype=jnp.int32) * D + dev]
@@ -279,9 +321,9 @@ class ShardedSumcheck:
 
         return jax.jit(jax.shard_map(
             f, mesh=self.mesh,
-            in_specs=(PSpec(), PSpec(), PSpec("x"), PSpec("x"),
-                      PSpec("x"), PSpec("x")),
-            out_specs=PSpec("x"), check_vma=False))
+            in_specs=(PSpec(), PSpec(), PSpec(self.ax), PSpec(self.ax),
+                      PSpec(self.ax), PSpec(self.ax)),
+            out_specs=PSpec(self.ax), check_vma=False))
 
     def _build2_pl(self, k: int):
         return self._cached(("build2_pl", k),
@@ -289,10 +331,10 @@ class ShardedSumcheck:
 
     def _make_build2_pl(self, k: int):
         from ..jaxeng import pallas_kernels as PK
-        D, ld = self.D, self.log_d
+        D, ld, ax = self.D, self.log_d, self.ax
 
         def f(w_T, eqz_T, rs_loc, rs_tail, fin, ga, ma, gm, mm):
-            dev = lax.axis_index("x")
+            dev = lax.axis_index(ax)
             n = w_T.shape[-1]
             rows = n // D
             w_loc = w_T[:, jnp.arange(rows, dtype=jnp.int32) * D + dev]
@@ -319,8 +361,8 @@ class ShardedSumcheck:
         return jax.jit(jax.shard_map(
             f, mesh=self.mesh,
             in_specs=(PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
-                      PSpec("x"), PSpec("x"), PSpec("x"), PSpec("x")),
-            out_specs=PSpec("x"), check_vma=False))
+                      PSpec(self.ax), PSpec(self.ax), PSpec(self.ax), PSpec(self.ax)),
+            out_specs=PSpec(self.ax), check_vma=False))
 
     def _round(self, sched_len: int, phase: int):
         return self._cached(("round", sched_len, phase),
@@ -329,21 +371,21 @@ class ShardedSumcheck:
     def _make_round(self, sched_len: int, phase: int):
         """One sumcheck round: local eval, one psum, replicated interp +
         MiMC + local fold.  Compiled once per (local size, sched, phase)."""
-        hp = self.use_pallas
+        hp, ax = self.use_pallas, self.ax
 
         def f(Sl, fin):
             S = Sl[0]                                       # (m, t, 16)
             y_loc = (_eval_term_p1(S) if phase == 1
                      else _eval_term_p2(S, fin[0]))
-            y = L.normalize_relaxed(lax.psum(y_loc, "x"))   # (3, 16)
+            y = L.normalize_relaxed(lax.psum(y_loc, ax))   # (3, 16)
             c2, c1, c0 = _interp3(y[0], y[1], y[2])
             r = _hash_sched(c2, c1, c0, sched_len, hp)
             Sf = L.fold_tables(S, r)[None]
             return Sf, jnp.stack([c2, c1, c0]), r
 
         return jax.jit(jax.shard_map(
-            f, mesh=self.mesh, in_specs=(PSpec("x"), PSpec()),
-            out_specs=(PSpec("x"), PSpec(), PSpec()), check_vma=False))
+            f, mesh=self.mesh, in_specs=(PSpec(self.ax), PSpec()),
+            out_specs=(PSpec(self.ax), PSpec(), PSpec()), check_vma=False))
 
     def _round_pl(self, sched_len: int, phase: int):
         return self._cached(("round_pl", sched_len, phase),
@@ -354,20 +396,21 @@ class ShardedSumcheck:
         stack: in-VMEM eval + fold, Pallas MiMC, one psum of the (3, 16)
         local sums (the only cross-chip traffic, exactly as the XLA round)."""
         from ..jaxeng import pallas_kernels as PK
+        ax = self.ax
 
         def f(Sl, fin):
             S_T = Sl[0]                                     # (t, 16, m)
             y_loc = (PK.pl_phase1_eval(S_T) if phase == 1
                      else PK.pl_phase2_eval(S_T, fin[0]))
-            y = L.normalize_relaxed(lax.psum(y_loc, "x"))
+            y = L.normalize_relaxed(lax.psum(y_loc, ax))
             c2, c1, c0 = _interp3(y[0], y[1], y[2])
             r = _hash_sched(c2, c1, c0, sched_len, True)
             Sf = PK.pl_fold(S_T, r)[None]
             return Sf, jnp.stack([c2, c1, c0]), r
 
         return jax.jit(jax.shard_map(
-            f, mesh=self.mesh, in_specs=(PSpec("x"), PSpec()),
-            out_specs=(PSpec("x"), PSpec(), PSpec()), check_vma=False))
+            f, mesh=self.mesh, in_specs=(PSpec(self.ax), PSpec()),
+            out_specs=(PSpec(self.ax), PSpec(), PSpec()), check_vma=False))
 
     def _switch(self):
         """Transposed -> row layout: (1, t, 16, m) -> (1, m, t, 16), local."""
@@ -378,8 +421,8 @@ class ShardedSumcheck:
             return jnp.transpose(Sl[0], (2, 0, 1))[None]
 
         return jax.jit(jax.shard_map(
-            f, mesh=self.mesh, in_specs=(PSpec("x"),),
-            out_specs=PSpec("x"), check_vma=False))
+            f, mesh=self.mesh, in_specs=(PSpec(self.ax),),
+            out_specs=PSpec(self.ax), check_vma=False))
 
     def _tail(self, scheds: tuple[int, ...], phase: int):
         return self._cached(("tail", scheds, phase),
@@ -388,10 +431,10 @@ class ShardedSumcheck:
     def _make_tail(self, scheds: tuple[int, ...], phase: int):
         """Final log2(D) rounds over the gathered (D, t, 16) residual —
         one compiled program, fully replicated compute."""
-        hp = self.use_pallas
+        hp, ax = self.use_pallas, self.ax
 
         def f(Sl, fin):
-            g = lax.all_gather(Sl[0, 0], "x")               # (D, t, 16)
+            g = lax.all_gather(Sl[0, 0], ax)               # (D, t, 16)
             rows_c, rows_r = [], []
             for sched_len in scheds:
                 y = (_eval_term_p1(g) if phase == 1
@@ -408,7 +451,7 @@ class ShardedSumcheck:
             return cs, rs, g[0]
 
         return jax.jit(jax.shard_map(
-            f, mesh=self.mesh, in_specs=(PSpec("x"), PSpec()),
+            f, mesh=self.mesh, in_specs=(PSpec(self.ax), PSpec()),
             out_specs=(PSpec(), PSpec(), PSpec()), check_vma=False))
 
     # ------------------------------------------------------------- the prove
@@ -459,7 +502,7 @@ class ShardedSumcheck:
         # device-subset mesh a mix of submesh-committed and uncommitted
         # arrays segfaults XLA:CPU instead of resharding.
         rep = NamedSharding(self.mesh, PSpec())
-        shx = NamedSharding(self.mesh, PSpec("x"))
+        shx = NamedSharding(self.mesh, PSpec(self.ax))
         if w_dev is None:
             w_dev = L.pack(w_next)
         w_dev = jax.device_put(w_dev, rep)

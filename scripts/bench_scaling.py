@@ -91,6 +91,10 @@ def main() -> int:
     out = {
         "metric": f"sharded_layer_sumcheck_strong_scaling_2e{k}",
         "platform": "cpu-mesh (virtual, xla_force_host_platform_device_count)",
+        # virtual devices are threads on the SAME physical cores: measured
+        # efficiency is a floor once D exceeds the core count (collective
+        # overhead is real, the parallel speedup is capped by the host)
+        "host_physical_cpus": os.cpu_count(),
         "global_gates": n,
         "wall_ms": {str(D): round(t * 1000, 1) for D, t in results.items()},
         "speedup": {str(D): round(t1 / t, 2) for D, t in results.items()},

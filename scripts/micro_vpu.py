@@ -15,10 +15,8 @@ import time
 
 import jax
 
-_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache-device")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache: configured by gkr_tpu.jaxeng at import
+# (GKR_TPU_JAX_CACHE, default ~/.cache/gkr_tpu_jax)
 
 import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402

@@ -1,11 +1,15 @@
-"""Pallas mont-mul kernel experiments: block width + algorithm variants.
+"""Pallas mont-mul kernel experiments: algorithm + block-width variants.
 
-The production kernel (pallas_kernels._mmul_rows, 32 live accumulator
-columns x block lanes) runs ~20x off a pure VPU op-count estimate —
-hypothesis: vector-register spilling.  Variants:
+Timing is MARGINAL (chain depth hi vs lo inside one jitted program, drained
+by a scalar device_get): through the tunneled device `block_until_ready`
+does not actually block and every forced sync pays a ~23 ms round trip, so
+absolute per-call wall-clocks are meaningless (see bench._measure_vpu_peak).
 
-  school/B  — current schoolbook+REDC at block width B
-  cios/B    — CIOS-interleaved (18-column sliding accumulator) at width B
+Variants (all exact BN254 Montgomery, verified against limbs.mont_mul):
+  school/B  — production schoolbook+REDC (pallas_kernels._mmul_rows,
+              32 live accumulator columns), sublane-dense, block width B
+  cios/B    — CIOS-interleaved (17-column sliding accumulator; lower
+              register pressure, longer dependency chain)
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/tune_pallas_mul.py
 """
@@ -17,17 +21,15 @@ import time
 
 import jax
 
-_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache-device")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache: configured by gkr_tpu.jaxeng at import
+# (GKR_TPU_JAX_CACHE, default ~/.cache/gkr_tpu_jax)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-from gkr_tpu.field import P, NPRIME16  # noqa: E402
+from gkr_tpu.field import NPRIME16  # noqa: E402
 from gkr_tpu.jaxeng import limbs as L  # noqa: E402
 from gkr_tpu.jaxeng import pallas_kernels as PK  # noqa: E402
 
@@ -60,24 +62,32 @@ def _mmul_rows_cios(a, b):
     return PK._norm_rows(t[:16])
 
 
-def make_school(block):
+ALGOS = {
+    "school": PK._mmul_rows,
+    "cios": _mmul_rows_cios,
+}
+
+
+def make_kernel(algo, depth):
+    mm = ALGOS[algo]
+
     def kernel(a_ref, b_ref, o_ref):
-        out = PK._mmul_rows(PK._rows(a_ref[:]), PK._rows(b_ref[:]))
-        o_ref[:] = jnp.stack(out, axis=-2)
+        block = a_ref.shape[-1]
+        a = PK._rows8(a_ref[:])
+        b = PK._rows8(b_ref[:])
+        for _ in range(depth):
+            a = mm(a, b)
+        o_ref[:] = jnp.stack(a, axis=-3).reshape(16, block)
+
     return kernel
 
 
-def make_cios(block):
-    def kernel(a_ref, b_ref, o_ref):
-        out = _mmul_rows_cios(PK._rows(a_ref[:]), PK._rows(b_ref[:]))
-        o_ref[:] = jnp.stack(out, axis=-2)
-    return kernel
+def build(algo, depth, n, block):
+    kernel = make_kernel(algo, depth)
 
-
-def build(kernel, n, block):
     @jax.jit
     def run(a, b):
-        return pl.pallas_call(
+        r = pl.pallas_call(
             kernel,
             grid=(n // block,),
             in_specs=[pl.BlockSpec((16, block), lambda i: (0, i),
@@ -88,34 +98,49 @@ def build(kernel, n, block):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
         )(a, b)
+        return r[:, :2], r[0, 0]
     return run
 
 
 def main():
     n = 1 << 20
+    lo_d, hi_d = 1, 9
     rng = np.random.RandomState(0)
     limbs = rng.randint(0, 1 << 16, size=(16, n)).astype(np.uint32)
     limbs[15] &= 0x2FFF
     a = jnp.asarray(limbs)
     b = jnp.asarray(limbs[:, ::-1].copy())
-    ref = None
-    for name, maker in (("school", make_school), ("cios", make_cios)):
-        for block in (256, 512, 1024, 2048, 4096):
-            run = build(maker(block), n, block)
-            out = run(a, b)
-            out.block_until_ready()
-            if ref is None:
-                ref = np.asarray(jax.device_get(out[:, :64]))
-            else:
-                got = np.asarray(jax.device_get(out[:, :64]))
-                assert np.array_equal(ref, got), f"{name}/{block} mismatch"
-            best = 1e9
-            for _ in range(5):
-                t0 = time.time()
-                run(a, b).block_until_ready()
-                best = min(best, time.time() - t0)
-            print(f"{name:7s} block={block:5d}: {best*1000:8.2f} ms "
-                  f"{n/best/1e6:8.1f} M muls/s", flush=True)
+    # reference: depth-1 result via the XLA limb engine
+    ref = np.asarray(jax.device_get(
+        L.mont_mul(a.T[:2], b.T[:2]))).astype(np.uint32)
+
+    for algo in ("school", "cios"):
+        for block in (512, 1024, 2048, 4096):
+            try:
+                head, _ = build(algo, 1, n, block)(a, b)
+                got = np.asarray(jax.device_get(head)).T
+                assert np.array_equal(ref, got), f"{algo}/{block} mismatch"
+
+                def best_s(depth):
+                    run = build(algo, depth, n, block)
+                    _, s = run(a, b)
+                    jax.device_get(s)
+                    best = None
+                    for _ in range(3):
+                        t0 = time.time()
+                        _, s = run(a, b)
+                        jax.device_get(s)
+                        dt = time.time() - t0
+                        best = dt if best is None or dt < best else best
+                    return best
+
+                d = best_s(hi_d) - best_s(lo_d)
+                per = d / (hi_d - lo_d)
+                print(f"{algo:7s} block={block:5d}: {per*1000:8.2f} ms/mul-pass "
+                      f"{n/per/1e6:8.1f} M muls/s", flush=True)
+            except Exception as e:
+                print(f"{algo:7s} block={block:5d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -70,10 +70,30 @@ def scenario_small_mesh():
     assert_proofs_identical(prove(circuit, w), p_shard)
 
 
+def scenario_two_axis_mesh():
+    """2x4 ("dcn", "ici") mesh — the multi-host layout — must produce the
+    identical transcript: collectives run over both axes, hypercube
+    buckets keyed by the linear device index."""
+    from gkr_tpu import prove, verify
+    from gkr_tpu.parallel import ShardedBackend, make_mesh
+    from test_gkr_e2e import assert_proofs_identical
+
+    rng = random.Random(3)
+    circuit, inputs = wide_circuit(rng, k=5)
+    w = circuit.evaluate(inputs)
+    mesh = make_mesh(hosts=2)
+    assert mesh.axis_names == ("dcn", "ici") and mesh.devices.shape == (2, 4)
+    backend = ShardedBackend(mesh, host_threshold=0)
+    p_shard = prove(circuit, w, backend=backend)
+    assert_proofs_identical(prove(circuit, w), p_shard)
+    assert verify(p_shard, circuit, raise_on_fail=True)
+
+
 def run_all():
     scenario_mesh_has_8_devices()
     scenario_sharded_matches_host(0, 4)
     scenario_sharded_matches_host(1, 5)
+    scenario_two_axis_mesh()
     print("full-mesh scenarios OK", flush=True)
 
 
