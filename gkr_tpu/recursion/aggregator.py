@@ -28,7 +28,7 @@ from ..verifier import verify as verify_proof
 from .circom_driver import execute_circom
 from .serialize import (CircomInputProof, get_meta, modify_proof_for_circom,
                         write_aggregated_input)
-from .templating import modify_circom_file
+from .templating import modify_circom_file, structural_lens
 
 # The reference proves the <=20 subcircuits of a round with a rayon
 # par_iter (rust/src/aggregator.rs:350-355,411-416).  Here each subcircuit
@@ -58,8 +58,10 @@ def prove_subcircuits(circuits, w_values_list, backend=None,
                       max_workers: int = MAX_PROVE_WORKERS):
     """Prove all subcircuits of one aggregation round — the rayon par_iter
     analog (rust/src/aggregator.rs:350-355).  See MAX_PROVE_WORKERS note
-    for the pool-kind rationale; measured scaling is recorded in
-    PARALLEL_r03.json (scripts/bench_subcircuits.py)."""
+    for the pool-kind rationale; measured scaling is committed as
+    PARALLEL_r04.json at the repo root (scripts/bench_subcircuits.py).
+    The CLI reaches this parallelism via --backend/--workers
+    (cli._backend_args builds a backend_factory)."""
 
     def prove_one(idx: int):
         b = backend_factory() if backend_factory is not None else backend
@@ -101,7 +103,8 @@ def _phase(label: str, t0: float) -> float:
 
 def _convert_and_prove(name: str, root_path: str, input_name: str,
                        workdir: str, backend=None, check_verify: bool = True,
-                       backend_factory=None):
+                       backend_factory=None,
+                       max_workers: int = MAX_PROVE_WORKERS):
     t0 = time.time()
     r1cs = R1csFile.read(os.path.join(workdir, root_path, f"{name}.r1cs"))
     wtns = WtnsFile.read(os.path.join(workdir, "witness.wtns"))
@@ -115,7 +118,8 @@ def _convert_and_prove(name: str, root_path: str, input_name: str,
     print("Proving starts..")
     proofs = prove_subcircuits(circuits, w_values_list, backend=backend,
                                backend_factory=backend_factory,
-                               check_verify=check_verify)
+                               check_verify=check_verify,
+                               max_workers=max_workers)
     t0 = _phase("prove", t0)
 
     out_path = os.path.join(workdir, root_path, f"{input_name}_output.json")
@@ -127,9 +131,14 @@ def _convert_and_prove(name: str, root_path: str, input_name: str,
 def prove_recursively_circom(circuit_path: str, previous_proofs, input_path: str,
                              workdir: str = ".", backend=None,
                              check_verify: bool = True,
-                             backend_factory=None):
+                             backend_factory=None,
+                             max_workers: int = MAX_PROVE_WORKERS,
+                             strong: bool = False):
     t0 = time.time()
     metas = get_meta(previous_proofs)
+    # structural lengths from the UNPADDED proofs (strong mode: they pick
+    # the coefficient suffix each in-circuit Fiat-Shamir hash consumes)
+    lens = structural_lens(previous_proofs) if strong else None
     padded = modify_proof_for_circom(previous_proofs, metas)
     cips = [CircomInputProof(p) for p in padded]
 
@@ -137,7 +146,8 @@ def prove_recursively_circom(circuit_path: str, previous_proofs, input_path: str
     agg_input = write_aggregated_input(
         input_path, cips, os.path.join(workdir, "aggregated.json"))
     agg_circuit = modify_circom_file(
-        circuit_path, metas, os.path.join(workdir, "aggregated.circom"))
+        circuit_path, metas, os.path.join(workdir, "aggregated.circom"),
+        lens=lens)
     print(f"{agg_circuit} generated")
     t0 = _phase("serialize", t0)
 
@@ -145,25 +155,29 @@ def prove_recursively_circom(circuit_path: str, previous_proofs, input_path: str
     _phase("compile", t0)
     return _convert_and_prove(name, root_path, input_name, workdir, backend,
                               check_verify=check_verify,
-                              backend_factory=backend_factory)
+                              backend_factory=backend_factory,
+                              max_workers=max_workers)
 
 
 def prove_groth(circuit_path: str, previous_proofs, input_path: str,
-                workdir: str = "."):
+                workdir: str = ".", strong: bool = False):
     metas = get_meta(previous_proofs)
+    lens = structural_lens(previous_proofs) if strong else None
     padded = modify_proof_for_circom(previous_proofs, metas)
     cips = [CircomInputProof(p) for p in padded]
     agg_input = write_aggregated_input(
         input_path, cips, os.path.join(workdir, "aggregated.json"))
     agg_circuit = modify_circom_file(
-        circuit_path, metas, os.path.join(workdir, "aggregated.circom"))
+        circuit_path, metas, os.path.join(workdir, "aggregated.circom"),
+        lens=lens)
     execute_circom(agg_circuit, agg_input, workdir)
     print("Proving by groth16 can be done")
 
 
 def prove_all(circuit_path: str, input_paths: list[str],
               workdir: str = ".", backend=None, check_verify: bool = True,
-              backend_factory=None):
+              backend_factory=None, max_workers: int = MAX_PROVE_WORKERS,
+              strong: bool = False):
     """The reference CLI's `prove` flow (aggregator.rs:385-435).  Unlike the
     reference, each round self-verifies its proofs by default (a bad proof
     would otherwise propagate silently into the next round's witness)."""
@@ -175,12 +189,16 @@ def prove_all(circuit_path: str, input_paths: list[str],
             proofs = _convert_and_prove(name, root_path, input_name,
                                         workdir, backend,
                                         check_verify=check_verify,
-                                        backend_factory=backend_factory)
+                                        backend_factory=backend_factory,
+                                        max_workers=max_workers)
         elif i == len(input_paths) - 1:
-            prove_groth(circuit_path, proofs, input_path, workdir)
+            prove_groth(circuit_path, proofs, input_path, workdir,
+                        strong=strong)
         else:
             proofs = prove_recursively_circom(circuit_path, proofs,
                                               input_path, workdir, backend,
                                               check_verify=check_verify,
-                                              backend_factory=backend_factory)
+                                              backend_factory=backend_factory,
+                                              max_workers=max_workers,
+                                              strong=strong)
     return proofs

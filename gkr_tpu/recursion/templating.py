@@ -15,6 +15,8 @@ import re
 
 VERIFIER_CIRCUIT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "circuits", "gkr_verifier.circom")
+FS_VERIFIER_CIRCUIT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "circuits", "gkr_verifier_fs.circom")
 
 _BLOCK = """
     var d{i} = {meta0};
@@ -26,7 +28,7 @@ _BLOCK = """
     signal input z{i}[d{i}][largest_k{i}];
     signal input r{i}[d{i} - 1];
     signal input inputFunc{i}[{meta6}][{meta7} + 1];
-    verifier[{i}] = VerifyGKR({meta});
+    verifier[{i}] = {tpl};
     for (var a = 0; a < d{i} - 1; a++) {{
         for (var b = 0; b < 2 * {meta1}; b++) {{
             for (var c = 0; c < {meta4}; c++) {{
@@ -65,15 +67,54 @@ _BLOCK = """
 """
 
 
-def render_verifier_block(metas: list[list[int]]) -> str:
+def _lit(x) -> str:
+    """Nested-array circom literal: [[2, 3], [3]] etc."""
+    if isinstance(x, (list, tuple)):
+        return "[" + ", ".join(_lit(v) for v in x) + "]"
+    return str(x)
+
+
+def render_verifier_block(metas: list[list[int]],
+                          lens: list[tuple] | None = None) -> str:
+    """The per-instance proof-signal + VerifyGKR instantiation block.
+
+    With `lens` (per-instance (roundLens, qLens) from structural_lens),
+    instantiates the Fiat-Shamir-strengthened VerifyGKRStrongFS
+    (gkr_verifier_fs.circom) instead of the reference-parity-shaped
+    VerifyGKR — the external signal layout is IDENTICAL, so the same
+    aggregated.json drives either gadget."""
     parts = [f"\n    component verifier[{len(metas)}];\n"]
     for i, meta in enumerate(metas):
+        if lens is None:
+            inst = "[" + ", ".join(str(m) for m in meta) + "]"
+            tpl = f"VerifyGKR({inst})"
+        else:
+            rl, ql = lens[i]
+            tpl = (f"VerifyGKRStrongFS({_lit(meta)}, {_lit(rl)}, "
+                   f"{_lit(ql)})")
         parts.append(_BLOCK.format(
-            i=i,
-            meta="[" + ", ".join(str(m) for m in meta) + "]",
+            i=i, tpl=tpl,
             meta0=meta[0], meta1=meta[1], meta2=meta[2], meta3=meta[3],
             meta4=meta[4], meta5=meta[5], meta6=meta[6], meta7=meta[7]))
     return "".join(parts)
+
+
+def structural_lens(proofs) -> list[tuple[list[list[int]], list[int]]]:
+    """Per-instance (roundLens, qLens) template arguments for
+    VerifyGKRStrongFS, extracted from the UNPADDED proofs (the structural
+    lengths select the coefficient suffix each in-circuit MiMC hash
+    consumes; gkr_verifier_fs.circom:98-114).  Rows are padded to the
+    2*largest_k circom shape with zeros (those rows are never hashed)."""
+    out = []
+    for pr in proofs:
+        largest_k = max(pr.k)
+        rls = []
+        for layer in pr.sumcheck_proofs:
+            row = [len(rnd) for rnd in layer]
+            row += [0] * (2 * largest_k - len(row))
+            rls.append(row)
+        out.append((rls, [len(qq) for qq in pr.q]))
+    return out
 
 
 _MAIN_RE = re.compile(
@@ -116,17 +157,23 @@ def _main_template_close(lines: list[str]) -> int | None:
 
 def modify_circom_file(path: str, metas: list[list[int]],
                        out_path: str = "aggregated.circom",
-                       verifier_include: str | None = None) -> str:
+                       verifier_include: str | None = None,
+                       lens: list[tuple] | None = None) -> str:
     """Splice the verifier block into the user's circom source
     (aggregator.rs:292-314 line-level semantics: include after the pragma,
     block before the closing brace of the MAIN template — located by
     instantiation, falling back to the reference's first-bare-`}` rule
-    when no `component main = ...` can be parsed)."""
-    include = verifier_include or VERIFIER_CIRCUIT
+    when no `component main = ...` can be parsed).
+
+    `lens` (from structural_lens) switches the embedded gadget to the
+    Fiat-Shamir-strengthened VerifyGKRStrongFS and the include to
+    gkr_verifier_fs.circom — the CLI's --strong-circom mode."""
+    include = verifier_include or (FS_VERIFIER_CIRCUIT if lens is not None
+                                   else VERIFIER_CIRCUIT)
     with open(path) as f:
         content = f.read()
 
-    block = render_verifier_block(metas)
+    block = render_verifier_block(metas, lens=lens)
     lines = content.splitlines()
     close_idx = _main_template_close(lines)
     out_lines = []

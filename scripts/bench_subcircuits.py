@@ -5,12 +5,19 @@ The reference proves a round's <= 20 subcircuits with rayon
 big-int arithmetic, which the GIL serializes — so prove_subcircuits uses a
 spawn PROCESS pool.  This script measures the actual wall-clock of proving
 N identical subcircuits at 1/2/4/8 workers and records the speedup; the
-result is committed as PARALLEL_r03.json.
+result is committed as PARALLEL_r04.json at the repo root.
 
 Usage: python scripts/bench_subcircuits.py [n_sub] [k]
 """
 
+
 from __future__ import annotations
+
+# Make `python scripts/<name>.py` work from any cwd: the repo root (one
+# level up) must be importable before `import gkr_tpu`.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import random

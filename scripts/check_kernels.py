@@ -3,7 +3,14 @@
 Usage: PYTHONPATH=/root/.axon_site:/root/repo timeout 1700 python -u scripts/check_kernels.py
 """
 
+
 from __future__ import annotations
+
+# Make `python scripts/<name>.py` work from any cwd: the repo root (one
+# level up) must be importable before `import gkr_tpu`.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 

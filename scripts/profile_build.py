@@ -1,7 +1,14 @@
 """Measure candidate primitives for the wiring-table build at 2^20:
 sort, gather, cumsum, searchsorted, bulk host->device transfer."""
 
+
 from __future__ import annotations
+
+# Make `python scripts/<name>.py` work from any cwd: the repo root (one
+# level up) must be importable before `import gkr_tpu`.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

@@ -4,7 +4,14 @@ real TPU — identifies where the 2^20 layer-sumcheck's ~30s goes.
 Run: python scripts/profile_engine.py [k]
 """
 
+
 from __future__ import annotations
+
+# Make `python scripts/<name>.py` work from any cwd: the repo root (one
+# level up) must be importable before `import gkr_tpu`.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import random
 import sys

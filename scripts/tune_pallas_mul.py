@@ -14,7 +14,14 @@ Variants (all exact BN254 Montgomery, verified against limbs.mont_mul):
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/tune_pallas_mul.py
 """
 
+
 from __future__ import annotations
+
+# Make `python scripts/<name>.py` work from any cwd: the repo root (one
+# level up) must be importable before `import gkr_tpu`.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import time
@@ -135,6 +142,12 @@ def main():
                     return best
 
                 d = best_s(hi_d) - best_s(lo_d)
+                if d <= 0:
+                    # negative marginal time = timing noise swamped the
+                    # measurement (same guard as bench._measure_vpu_peak)
+                    print(f"{algo:7s} block={block:5d}: unmeasurable "
+                          f"(marginal time <= 0 under noise)", flush=True)
+                    continue
                 per = d / (hi_d - lo_d)
                 print(f"{algo:7s} block={block:5d}: {per*1000:8.2f} ms/mul-pass "
                       f"{n/per/1e6:8.1f} M muls/s", flush=True)
