@@ -181,18 +181,28 @@ class JaxBackend:
         return interpolate(list(zip(range(deg + 1), ys)))
 
     def sparse_from_dense(self, w_values):
-        """Device Möbius transform + nonzero compaction -> lazy SparseMle.
+        """Möbius transform + nonzero compaction -> lazy SparseMle.
 
-        Python work is O(1) at construction (rows materialize only if a
-        consumer iterates them); the device does the O(n log n) transform
-        and the canonical-form conversion.  Small tables keep the exact
-        host path (dispatch latency dominates)."""
+        The RESULT must live on the host (it goes into the serialized
+        proof), and the source values already do — so the C++ transform
+        (native.engine.sparse_from_dense_native) wins whenever libgkrhost
+        is available: a device transform downloads the whole table
+        (~8 s per 2^16 layer through the tunneled link).  Fallbacks:
+        device Möbius + compaction, then the exact host path for small
+        tables (dispatch latency dominates)."""
         from ..mle import SparseMle
 
         n = len(w_values)
         k = n.bit_length() - 1
         if self._use_host(k):
             return sparse_from_dense(w_values)
+        try:
+            from ..native.engine import sparse_from_dense_native
+            sp = sparse_from_dense_native(w_values)
+            if sp is not None:
+                return sp
+        except Exception:
+            pass
         C = _mobius_dev(L.pack(w_values))
         nz = np.nonzero(np.asarray(jax.device_get(_nonzero_bitmap(C))))[0]
         rows = np.asarray(jax.device_get(

@@ -66,6 +66,7 @@ def lib():
         L.gkr_phase1_eval.argtypes = [u8p, u8p, u8p, u8p, sz, u8p]
         L.gkr_phase2_eval.argtypes = [u8p, u8p, u8p, u8p, sz, u8p]
         L.gkr_fold.argtypes = [u8p, sz, u8p]
+        L.gkr_mobius.argtypes = [u8p, sz]
         if L.gkr_version() != 1:
             return None
         # install MiMC round constants

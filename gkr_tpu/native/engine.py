@@ -49,6 +49,10 @@ class CppBackend(HostBackend):
         if self.L is None:
             raise RuntimeError("libgkrhost unavailable (no g++?)")
 
+    def sparse_from_dense(self, w_values):
+        sp = sparse_from_dense_native(w_values)
+        return sp if sp is not None else super().sparse_from_dense(w_values)
+
     def layer_sumcheck(self, z, w_next, add_gates, mult_gates,
                        k_cur, k_next, w_struct: MleStruct,
                        transcript: Mimc7, layer_idx=None):
@@ -143,6 +147,32 @@ class CppBackend(HostBackend):
             size //= 2
 
         return proof, challenges
+
+
+def sparse_from_dense_native(values):
+    """Möbius transform + nonzero compaction in C++ -> lazy SparseMle, or
+    None when libgkrhost is unavailable.
+
+    The materialization stages of a proof (d / input_func,
+    rust/src/convert.rs:840-847) need the term list ON THE HOST — a device
+    Möbius round-trips the whole table through the tunnel (~8 s for a
+    2^16-input layer at the measured ~0.5 MB/s device->host rate) and the
+    pure-Python transform walks n log n big-int ops.  The values already
+    live on the host, so the canonical-domain C++ transform (+ numpy
+    compaction) is the right tool: ~1 ms at 2^16."""
+    L = lib()
+    if L is None:
+        return None
+    from ..mle import SparseMle
+
+    n = len(values)
+    k = n.bit_length() - 1
+    assert n == 1 << k, "table length must be a power of two"
+    buf = ints_to_buf(values)
+    L.gkr_mobius(_buf(buf), n)
+    arr = np.frombuffer(bytes(buf), dtype=np.uint16).reshape(n, 16)
+    nz = np.nonzero(arr.any(axis=1))[0]
+    return SparseMle(k, nz, arr[nz].astype(np.uint32))
 
 
 class NativeMimc7:

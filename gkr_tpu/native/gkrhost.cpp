@@ -393,6 +393,32 @@ void gkr_phase2_eval(const uint8_t *w, const uint8_t *fa,
 }
 
 // in-place fold: table[0..n/2) = lo + r*(hi - lo); Montgomery domain.
+// In-place Möbius (finite-difference) transform over n canonical values,
+// MSB-first variable order (matches gkr_tpu.mle.mobius / the device
+// _mobius_dev): per stage, hi_half -= lo_half within each block.  The
+// sparse-MLE materialization path (convert.rs:840-847 get_multi_ext):
+// canonical-domain adds/subs only, no Montgomery conversion needed.
+void gkr_mobius(uint8_t *inout, size_t n) {
+    for (size_t half = n >> 1; half >= 1; half >>= 1) {
+        size_t block = half << 1;
+        long nblocks = (long)(n / block);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 4096)
+#endif
+        for (long b = 0; b < nblocks; ++b) {
+            uint8_t *base = inout + (size_t)b * block * 32;
+            for (size_t i = 0; i < half; ++i) {
+                Fr lo, hi;
+                load(base + i * 32, lo);
+                load(base + (half + i) * 32, hi);
+                fr_sub(hi, lo, hi);
+                store(base + (half + i) * 32, hi);
+            }
+        }
+        if (half == 1) break;
+    }
+}
+
 void gkr_fold(uint8_t *table, size_t n, const uint8_t *r32) {
     size_t half = n / 2;
     Fr r;

@@ -48,7 +48,14 @@ same programs execute unchanged and XLA places the traffic hierarchically:
 
 On a real multi-host slice: `jax.distributed.initialize()` per host, then
 `make_mesh(hosts=jax.process_count())` — jax.devices() is host-major,
-matching the ("dcn", "ici") layout.  The OTHER multi-host axis is task
+matching the ("dcn", "ici") layout.  In multi-controller mode every array
+is placed via make_array_from_callback (each process provides its
+addressable shards; see ShardedSumcheck._put) — plain device_put of host
+data to a mesh with non-addressable devices is not portable.  This path is
+EXECUTED (not just described) by the two-process CPU harness
+scripts/run_multihost.py, which records transcript parity vs the host
+engine in MULTIHOST_r04.json; real ICI/DCN hardware remains unexercised in
+this environment (single-chip tunnel).  The OTHER multi-host axis is task
 parallelism: independent subcircuits of an aggregation round (the
 reference's rayon par_iter, aggregator.rs:350-355) need no collectives at
 all, so each host can prove a disjoint subset with a per-host mesh —
@@ -82,13 +89,25 @@ from ..sumcheck import prove_layer_sumcheck, round_poly_len, shape_coeffs
 from ..jaxeng import limbs as L
 from ..jaxeng import mimc_dev as MD
 from ..jaxeng.backend import JaxBackend
-from ..jaxeng.fused import (_interp3, _mmul_T, _seg_build_relaxed,
-                            _seg_build_relaxed_T)
+from ..jaxeng.fused import (_interp3, _inv2_pows, _mmul_T,
+                            _seg_build_relaxed, _seg_build_relaxed_T)
 
 # Smallest LOCAL table size kept on the Pallas round/build path: the limb
 # kernels reshape rows to (8, m/8) sublane-dense blocks, so m/2 must be a
 # multiple of 8; below this the XLA fallback is cheap anyway.
 PALLAS_LOCAL_MIN = 16
+
+# Local rows at/below which the round chain runs as ONE lax.scan program
+# with REPLICATED folds (the fused engine's _phase_scan trick: the physical
+# buffer keeps its size, each logical entry repeated 2^idx times, evals
+# rescaled by 2^-idx) instead of one compiled program per halved size.
+# This bounds the compiled-program inventory per (D, n) at ~7 programs
+# instead of ~2*log2(n/D) — on XLA:CPU, where each shard_map limb program
+# takes tens of seconds to compile, this is what makes the scaling bench
+# (scripts/bench_scaling.py) finish at all; on TPU it also removes the
+# per-round dispatch latency.  Above it, true-halving eager rounds win
+# (the replicated fold moves O(rows) per round).
+SCAN_LOCAL_MAX = 1 << 13
 
 
 def make_mesh(n_devices: int | None = None, devices=None,
@@ -198,7 +217,21 @@ class ShardedSumcheck:
                 loc[:, key_col] //= D
                 cols[d, :m] = loc
                 mask[d, :m] = True
-        return jnp.asarray(cols), jnp.asarray(mask)
+        return cols, mask
+
+    def _put(self, arr, sharding):
+        """Place a host array onto the mesh.  Single-controller: plain
+        device_put.  Multi-controller (a real multi-host slice or the
+        two-process CPU harness, scripts/run_multihost.py): every process
+        holds the SAME full logical array, so each provides its addressable
+        shards via make_array_from_callback — jax.device_put of host data
+        to a sharding spanning non-addressable devices is not portable
+        (round-3 advisor finding on the multi-host claim)."""
+        if jax.process_count() > 1:
+            h = np.asarray(jax.device_get(arr))
+            return jax.make_array_from_callback(
+                h.shape, sharding, lambda idx: h[idx])
+        return jax.device_put(arr, sharding)
 
     # ------------------------------------------------------- program factory
 
@@ -241,16 +274,20 @@ class ShardedSumcheck:
         into eq_hi (rows) * eq_lo (D)."""
         D, ld, ax = self.D, self.log_d, self.ax
 
-        def f(w_full, eqz, rs_loc, rs_tail, fin, ga, ma, gm, mm):
-            # phase-1 outputs arrive still on device: local-round challenges
-            # (tuple of (16,)), tail challenges (ld, 16), final stack (t, 16)
+        def f(w_full, eqz, bs_parts, fin, ga, ma, gm, mm):
+            # phase-1 outputs arrive still on device: the challenge vector
+            # as a TUPLE of stacked segments (eager rounds (16,), scan
+            # (R, 16), tail (ld, 16)) — concatenated here, inside the
+            # program, because eager jnp ops on mesh-committed arrays
+            # abort XLA:CPU when the mesh is a device subset — plus the
+            # final stack (t, 16)
             dev = lax.axis_index(ax)
             n = w_full.shape[0]
             rows = n // D
             w_loc = w_full[jnp.arange(rows, dtype=jnp.int32) * D + dev]
             wb = fin[0]
-            parts = list(rs_loc) + [rs_tail[i] for i in range(ld)]
-            b_star = jnp.stack(parts) if parts else rs_tail
+            b_star = jnp.concatenate(
+                [p.reshape(-1, 16) for p in bs_parts], axis=0)
             eqhi = L.eq_table_device(b_star[:k - ld])      # (rows, 16)
             eqlo = L.eq_table_device(b_star[k - ld:])      # (D, 16)
 
@@ -271,7 +308,7 @@ class ShardedSumcheck:
 
         return jax.jit(jax.shard_map(
             f, mesh=self.mesh,
-            in_specs=(PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
+            in_specs=(PSpec(), PSpec(), PSpec(), PSpec(),
                       PSpec(self.ax), PSpec(self.ax), PSpec(self.ax), PSpec(self.ax)),
             out_specs=PSpec(self.ax), check_vma=False))
 
@@ -333,14 +370,14 @@ class ShardedSumcheck:
         from ..jaxeng import pallas_kernels as PK
         D, ld, ax = self.D, self.log_d, self.ax
 
-        def f(w_T, eqz_T, rs_loc, rs_tail, fin, ga, ma, gm, mm):
+        def f(w_T, eqz_T, bs_parts, fin, ga, ma, gm, mm):
             dev = lax.axis_index(ax)
             n = w_T.shape[-1]
             rows = n // D
             w_loc = w_T[:, jnp.arange(rows, dtype=jnp.int32) * D + dev]
             wb = fin[0]
-            parts = list(rs_loc) + [rs_tail[i] for i in range(ld)]
-            b_star = jnp.stack(parts) if parts else rs_tail
+            b_star = jnp.concatenate(
+                [p.reshape(-1, 16) for p in bs_parts], axis=0)
             eqhi_T = PK.pl_eq_table_T(b_star[:k - ld])     # (16, rows)
             eqlo_T = L.eq_table_device(b_star[k - ld:]).T  # (16, D)
 
@@ -360,9 +397,48 @@ class ShardedSumcheck:
 
         return jax.jit(jax.shard_map(
             f, mesh=self.mesh,
-            in_specs=(PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
+            in_specs=(PSpec(), PSpec(), PSpec(), PSpec(),
                       PSpec(self.ax), PSpec(self.ax), PSpec(self.ax), PSpec(self.ax)),
             out_specs=PSpec(self.ax), check_vma=False))
+
+    def _scan(self, phase: int):
+        return self._cached(("scan", phase), lambda: self._make_scan(phase))
+
+    def _make_scan(self, phase: int):
+        """ALL remaining local rounds of a phase as ONE lax.scan program:
+        local eval + one psum + replicated interp/MiMC + REPLICATED fold
+        per step.  The physical local buffer keeps its row count; logical
+        entry j is repeated 2^idx times contiguously after idx steps, so
+        evaluations are 2^idx x the true sums and are rescaled in-program
+        by inv_pows[idx] = 2^-idx (exact mod p) — the sharded twin of the
+        fused engine's _phase_scan (jaxeng/fused.py).  `is3` is the TRACED
+        per-round coefficient-count schedule, so one compiled program
+        serves every support structure of the same local size."""
+        hp, ax = self.use_pallas, self.ax
+
+        def f(Sl, fin, is3, inv_pows):
+            def body(S, xs):
+                is3_j, inv_j = xs
+                y_loc = (_eval_term_p1(S) if phase == 1
+                         else _eval_term_p2(S, fin[0]))
+                y = L.normalize_relaxed(lax.psum(y_loc, ax))
+                y = L.mul_scalar(y, inv_j)      # undo replication factor
+                c2, c1, c0 = _interp3(y[0], y[1], y[2])
+                r = lax.cond(
+                    is3_j,
+                    lambda: _hash_sched(c2, c1, c0, 3, hp),
+                    lambda: _hash_sched(c2, c1, c0, 2, hp))
+                half = L.fold_tables(S, r)
+                Sn = jnp.repeat(half, 2, axis=0)
+                return Sn, (jnp.stack([c2, c1, c0]), r)
+
+            S_fin, (coeffs, rs) = lax.scan(body, Sl[0], (is3, inv_pows))
+            return S_fin[None], coeffs, rs
+
+        return jax.jit(jax.shard_map(
+            f, mesh=self.mesh,
+            in_specs=(PSpec(self.ax), PSpec(), PSpec(), PSpec()),
+            out_specs=(PSpec(self.ax), PSpec(), PSpec()), check_vma=False))
 
     def _round(self, sched_len: int, phase: int):
         return self._cached(("round", sched_len, phase),
@@ -458,29 +534,43 @@ class ShardedSumcheck:
 
     def _run_phase(self, S, first_round, k, sched, phase, fin,
                    in_T: bool = False):
-        """Local halving rounds then the gathered tail; everything on
-        device.  `in_T` starts on the Pallas transposed layout and switches
-        to the XLA row layout below PALLAS_LOCAL_MIN local rows.
-        Returns (coeff stacks, challenge stacks, final (t,16))."""
-        coeff_rows, r_list = [], []
+        """Local rounds then the gathered tail; everything on device.
+        `in_T` starts on the Pallas transposed layout and switches to the
+        XLA row layout below PALLAS_LOCAL_MIN local rows.  Large local
+        tables take eager true-halving round programs; at SCAN_LOCAL_MAX
+        the chain enters ONE lax.scan program with replicated folds.
+        Returns (coeff parts, challenge parts, final (t,16)) — parts are
+        device arrays whose leading axes concatenate to the phase's k
+        rounds ((3,16) eager items, (R,3,16) scan, (ld,3,16) tail)."""
+        cs_parts, rs_parts = [], []
         j = first_round
         if in_T:
-            while S.shape[-1] >= PALLAS_LOCAL_MIN:
+            while (S.shape[-1] >= PALLAS_LOCAL_MIN
+                   and S.shape[-1] > SCAN_LOCAL_MAX):
                 step = self._round_pl(sched[j - 1], phase)
                 S, cs, r = step(S, fin)
-                coeff_rows.append(cs)
-                r_list.append(r)
+                cs_parts.append(cs)
+                rs_parts.append(r)
                 j += 1
             S = self._switch()(S)
-        while S.shape[1] >= 2:
+        while S.shape[1] >= 2 and S.shape[1] > SCAN_LOCAL_MAX:
             step = self._round(sched[j - 1], phase)
             S, cs, r = step(S, fin)
-            coeff_rows.append(cs)
-            r_list.append(r)
+            cs_parts.append(cs)
+            rs_parts.append(r)
             j += 1
+        R = S.shape[1].bit_length() - 1      # remaining local rounds
+        if R > 0:
+            is3 = jnp.asarray([sched[j - 1 + i] == 3 for i in range(R)])
+            S, cs, rs = self._scan(phase)(S, fin, is3, _inv2_pows(R))
+            cs_parts.append(cs)
+            rs_parts.append(rs)
+            j += R
         tail_sched = tuple(sched[jj - 1] for jj in range(j, first_round + k))
         cs, rs, final = self._tail(tail_sched, phase)(S, fin)
-        return coeff_rows, r_list, cs, rs, final
+        cs_parts.append(cs)
+        rs_parts.append(rs)
+        return cs_parts, rs_parts, final
 
     def prove_layer_sumcheck(self, z, w_next, add_gates, mult_gates,
                              k_cur, k_next, w_struct: MleStruct,
@@ -505,12 +595,12 @@ class ShardedSumcheck:
         shx = NamedSharding(self.mesh, PSpec(self.ax))
         if w_dev is None:
             w_dev = L.pack(w_next)
-        w_dev = jax.device_put(w_dev, rep)
-        eqz = jax.device_put(
+        w_dev = self._put(w_dev, rep)
+        eqz = self._put(
             L.jeq_table(L.pack(z)) if z
             else L.jeq_table(jnp.zeros((0, 16), jnp.uint32)), rep)
         part = lambda g, col: tuple(
-            jax.device_put(a, shx) for a in self._partition(g, n, col))
+            self._put(a, shx) for a in self._partition(g, n, col))
         ga1, ma1 = part(add_gates, 1)
         gm1, mm1 = part(mult_gates, 1)
 
@@ -520,32 +610,33 @@ class ShardedSumcheck:
             S1 = self._build1_pl()(w_T, eqz_T, ga1, ma1, gm1, mm1)
         else:
             S1 = self._build1()(w_dev, eqz, ga1, ma1, gm1, mm1)
-        dummy = jax.device_put(jnp.zeros((4, 16), jnp.uint32), rep)
-        rows1, rs1, cs1, rst1, fin1 = self._run_phase(S1, 1, k, sched, 1,
-                                                      dummy, in_T=pallas)
+        dummy = self._put(jnp.zeros((4, 16), jnp.uint32), rep)
+        cs1, rs1, fin1 = self._run_phase(S1, 1, k, sched, 1,
+                                         dummy, in_T=pallas)
 
         ga2, ma2 = part(add_gates, 2)
         gm2, mm2 = part(mult_gates, 2)
         if pallas:
-            S2 = self._build2_pl(k)(w_T, eqz_T, tuple(rs1), rst1, fin1,
+            S2 = self._build2_pl(k)(w_T, eqz_T, tuple(rs1), fin1,
                                     ga2, ma2, gm2, mm2)
         else:
-            S2 = self._build2(k)(w_dev, eqz, tuple(rs1), rst1, fin1,
+            S2 = self._build2(k)(w_dev, eqz, tuple(rs1), fin1,
                                  ga2, ma2, gm2, mm2)
-        rows2, rs2, cs2, rst2, _ = self._run_phase(S2, k + 1, k, sched, 2,
-                                                   fin1, in_T=pallas)
+        cs2, rs2, _ = self._run_phase(S2, k + 1, k, sched, 2,
+                                      fin1, in_T=pallas)
 
         # ONE batched download for the whole layer; host-side assembly only
         # (eager jnp ops on mesh-committed arrays are avoided entirely —
         # they abort/segfault XLA:CPU when the mesh is a device subset).
-        h_rows1, h_cs1, h_rst1, h_rs1, h_rows2, h_cs2, h_rst2, h_rs2 = \
-            jax.device_get((rows1, cs1, rst1, rs1, rows2, cs2, rst2, rs2))
-        coeff_mats = (list(h_rows1) + list(h_cs1)
-                      + list(h_rows2) + list(h_cs2))      # v x (3, 16)
-        r_vecs = (list(h_rs1) + list(h_rst1)
-                  + list(h_rs2) + list(h_rst2))           # v x (16,)
-        flat = L.unpack(np.stack(coeff_mats))        # v * 3 ints
-        rs_device = L.unpack(np.stack(r_vecs))       # v ints
+        h_cs1, h_rs1, h_cs2, h_rs2 = jax.device_get((cs1, rs1, cs2, rs2))
+        coeff_mats = np.concatenate(
+            [np.asarray(p).reshape(-1, 3, 16)
+             for p in h_cs1 + h_cs2])                     # (v, 3, 16)
+        r_vecs = np.concatenate(
+            [np.asarray(p).reshape(-1, 16)
+             for p in h_rs1 + h_rs2])                     # (v, 16)
+        flat = L.unpack(coeff_mats)                  # v * 3 ints
+        rs_device = L.unpack(r_vecs)                 # v ints
 
         proof: list[list[int]] = []
         challenges: list[int] = []

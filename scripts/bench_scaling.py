@@ -10,28 +10,34 @@ replaces is the rayon hot loop (rust/src/gkr/sumcheck.rs:50-63).
 
 A CPU mesh measures SCALING (collective/communication overhead at fixed
 work), not absolute TPU throughput; the absolute anchor is bench.py on the
-real chip.  Results are recorded in SCALING_r03.json.
+real chip.  The recorded sweep is committed as SCALING_r04.json at the
+repo root.
+
+Protocol (the round-3 sweep never finished: 4 mesh sizes x fresh shard_map
+compiles exceeded this host's XLA:CPU compile budget): each D point runs in
+its OWN subprocess over a shared persistent compile cache
+(GKR_TPU_JAX_CACHE) — the first sweep pays each compile once, re-runs hit
+the cache; the per-phase lax.scan round program (ShardedSumcheck._scan)
+bounds the program inventory at ~7 per D.
 
 Usage:
-    python scripts/bench_scaling.py [k] [reps]   (defaults k=14, reps=3)
+    python scripts/bench_scaling.py [k] [reps] [D,D,...]  (defaults 12 2 1,2,4,8)
 """
 
 from __future__ import annotations
 
+# Make `python scripts/<name>.py` work from any cwd: the repo root (one
+# level up) must be importable before `import gkr_tpu`.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import random
+import subprocess
 import sys
 import time
-
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
-if "cpu" not in jax.config.jax_platforms.split(",")[0]:
-    jax.config.update("jax_platforms", "cpu")
 
 
 def synth(k: int, k_cur: int = 4):
@@ -51,7 +57,13 @@ def synth(k: int, k_cur: int = 4):
     return z, w, add_gates, mult_gates, k_cur, struct
 
 
-def time_sharded(D: int, k: int, reps: int) -> tuple[float, list]:
+def child(D: int, k: int, reps: int) -> int:
+    """One D point, in-process (invoked as a subprocess by main)."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8").strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import gkr_tpu.jaxeng  # noqa: F401  (persistent compile cache)
     from gkr_tpu.mimc import Mimc7
     from gkr_tpu.parallel.sharding import ShardedSumcheck, make_mesh
 
@@ -62,32 +74,51 @@ def time_sharded(D: int, k: int, reps: int) -> tuple[float, list]:
     def one():
         return eng.prove_layer_sumcheck(z, w, ag, mg, kc, k, struct, Mimc7())
 
-    proof = one()                      # warmup: compiles
+    t0 = time.time()
+    proof, _ = one()                   # warmup: compiles (or cache hits)
+    warm_s = time.time() - t0
     best = None
     for _ in range(reps):
         t0 = time.time()
         one()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
-    return best, proof[0]
+    print(json.dumps({"D": D, "best_s": best, "warm_s": round(warm_s, 1),
+                      "round1_coeffs": proof[0]}), flush=True)
+    return 0
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 14
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if a != "--child"]
+    if "--child" in sys.argv[1:]:
+        return child(int(args[0]), int(args[1]), int(args[2]))
+    k = int(args[0]) if len(args) > 0 else 12
+    reps = int(args[1]) if len(args) > 1 else 2
+    ds = ([int(x) for x in args[2].split(",")] if len(args) > 2
+          else [1, 2, 4, 8])
     n = 1 << k
-    results = {}
-    ref_coeffs = None
-    for D in (1, 2, 4, 8):
-        dt, first = time_sharded(D, k, reps)
+    results, ref_coeffs = {}, None
+    for D in ds:
+        t0 = time.time()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             str(D), str(k), str(reps)],
+            capture_output=True, text=True)
+        if out.returncode != 0:
+            print(out.stdout + out.stderr, file=sys.stderr)
+            raise RuntimeError(f"child D={D} failed")
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
         if ref_coeffs is None:
-            ref_coeffs = first
+            ref_coeffs = rec["round1_coeffs"]
         else:
-            assert first == ref_coeffs, f"transcript diverged at D={D}"
-        results[D] = dt
-        print(f"D={D}: {dt * 1000:8.1f} ms  {n / dt:12,.0f} gates/s",
-              flush=True)
-    t1 = results[1]
+            assert rec["round1_coeffs"] == ref_coeffs, \
+                f"transcript diverged at D={D}"
+        results[D] = rec["best_s"]
+        print(f"D={D}: {rec['best_s'] * 1000:8.1f} ms "
+              f"{n / rec['best_s']:12,.0f} gates/s "
+              f"(child total {time.time() - t0:.0f}s, warm "
+              f"{rec['warm_s']}s)", file=sys.stderr, flush=True)
+    t1 = results[ds[0]] * ds[0]        # normalize if sweep starts above D=1
     out = {
         "metric": f"sharded_layer_sumcheck_strong_scaling_2e{k}",
         "platform": "cpu-mesh (virtual, xla_force_host_platform_device_count)",
@@ -96,6 +127,7 @@ def main() -> int:
         # overhead is real, the parallel speedup is capped by the host)
         "host_physical_cpus": os.cpu_count(),
         "global_gates": n,
+        "reps": reps,
         "wall_ms": {str(D): round(t * 1000, 1) for D, t in results.items()},
         "speedup": {str(D): round(t1 / t, 2) for D, t in results.items()},
         "efficiency": {str(D): round(t1 / (D * t), 3)

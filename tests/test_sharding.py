@@ -97,7 +97,10 @@ def run_all():
     print("full-mesh scenarios OK", flush=True)
 
 
-def _run_in_subprocess(stmt: str, timeout: int = 900):
+def _run_in_subprocess(stmt: str, timeout: int = 2700):
+    # timeout sized for a COLD persistent compile cache: every shard_map
+    # limb program costs ~40-55 s of XLA:CPU compile on this 2-vCPU host
+    # (measured round 4); warm-cache reruns take a small fraction of this
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
