@@ -8,11 +8,11 @@ Prints ONE JSON line.  Fields:
                             circuit is proved for many instances)
   vs_baseline             : device rate / CppBackend rate.  The baseline is
                             the repo's own native C++ OpenMP engine
-                            (gkr_tpu/native) measured in-process at 2^18
-                            (size-linear algorithm), NOT the pure-Python
-                            engine — the reference publishes no numbers
-                            (BASELINE.md), and C++ is the strongest host
-                            implementation available.
+                            (gkr_tpu/native) measured in-process at the
+                            SAME layer size as the headline, NOT the
+                            pure-Python engine — the reference publishes no
+                            numbers (BASELINE.md), and C++ is the strongest
+                            host implementation available.
   cpp_gates_per_sec       : that baseline, recorded
   host_py_gates_per_sec   : pure-Python engine rate (measured at 2^12)
   sumcheck_rounds_per_sec : v = 2k rounds per layer / layer seconds
@@ -37,11 +37,12 @@ Prints ONE JSON line.  Fields:
   breakdown_ms            : build1/build2/rounds+hash split, milliseconds
 
 GKR_BENCH_K overrides k.  GKR_BENCH_EXTRA=1 additionally runs a 2^16-layer
-config, the 2^24 scaling config (GKR_BENCH_TOPK overrides; 0 skips), and a
+config, the 2^24 scaling config (GKR_BENCH_TOPK overrides; 0 skips), a
 FULL multi-layer prove (layer walk + mle_struct + restrict_to_line +
-sparse_from_dense + full-strength host verify), emitted under "extra" in
-the same JSON line; the recorded sweep for this round is committed as
-BENCH_extra_r04.json at the repo root.
+sparse_from_dense + full-strength host verify), and the native 3-round
+mimc aggregation end-to-end (GKR_BENCH_AGG=0 skips), emitted under
+"extra" in the same JSON line; the recorded sweep for this round is
+committed as BENCH_extra_r04.json at the repo root.
 """
 
 from __future__ import annotations
@@ -422,11 +423,53 @@ def run_full_prove(k: int, k_input: int = 16):
     return gates, dt, dict(backend.t), verify_s
 
 
+def run_aggregation(n_inputs: int = 3):
+    """Native aggregation end-to-end: the product-level wall-clock the
+    reference's colored timers print per round (rust/src/aggregator.rs:
+    349-358).  Reference-example mimc inputs (examples/mimc/input*.json,
+    byte-equal to rust/example/input{1,2,3}.json), full-strength defaults
+    (full_fs + recombination + per-round self-verify), JaxBackend.
+    Returns {total_s, round_s[], constraints[]} — round i's constraint
+    count includes the in-circuit verifier gadget for round i-1's proof."""
+    import json as _json
+
+    from gkr_tpu.examples import mimc_example
+    from gkr_tpu.jaxeng.backend import JaxBackend
+    from gkr_tpu.recursion.native import prove_round_native
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    inputs = []
+    for i in range(1, n_inputs + 1):
+        with open(os.path.join(root, "examples", "mimc",
+                               f"input{i}.json")) as f:
+            inputs.append({k: int(v) for k, v in _json.load(f).items()})
+    backend = JaxBackend()
+    pairs = None
+    rounds, n_constraints = [], []
+    t_all = time.time()
+    for i, ui in enumerate(inputs):
+        t0 = time.time()
+        pairs, builder = prove_round_native(
+            mimc_example, ui, pairs if i else None, backend=backend)
+        rounds.append(round(time.time() - t0, 3))
+        n_constraints.append(len(builder.constraints))
+    return {
+        "config": (f"native mimc aggregation, {n_inputs} inputs, full_fs "
+                   "+ recombination + self-verify, JaxBackend"),
+        "total_s": round(time.time() - t_all, 2),
+        "round_s": rounds,
+        "constraints": n_constraints,
+    }
+
+
 def main() -> int:
     _enable_device_cache()
     k = int(os.environ.get("GKR_BENCH_K", "20"))
     host_k = int(os.environ.get("GKR_BENCH_HOST_K", "12"))
-    cpp_k = int(os.environ.get("GKR_BENCH_CPP_K", "18"))
+    # C++ baseline at the SAME size as the device headline (round-3 weak
+    # finding: a 2^18 baseline vs a 2^20 device rate mixed sizes even
+    # though the algorithm is size-linear); GKR_BENCH_CPP_K overrides.
+    cpp_k = int(os.environ.get("GKR_BENCH_CPP_K", str(k)))
     n = 1 << k
     v = 2 * k
     out = {"metric": f"gkr_layer_sumcheck_2e{k}_gates_per_sec",
@@ -546,6 +589,11 @@ def main() -> int:
             }
         except Exception as e:  # pragma: no cover
             extra["full_prove"] = {"error": str(e)}
+        if os.environ.get("GKR_BENCH_AGG", "1") == "1":
+            try:
+                extra["aggregation_e2e"] = run_aggregation()
+            except Exception as e:  # pragma: no cover
+                extra["aggregation_e2e"] = {"error": str(e)}
         # BASELINE.md's 2^24 scaling config LAST: its ~6 GB of transient
         # stacks can leave the 16 GB HBM too fragmented for later stages
         # (GKR_BENCH_TOPK=0 skips it on a small-memory device)

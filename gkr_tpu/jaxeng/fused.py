@@ -515,47 +515,6 @@ def _inv2_pows(k: int):
     return t
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _phase_scan(S_T, wb, inv_pows, is3, phase: int):
-    """ONE compiled program for an entire sumcheck phase on the Pallas
-    path: lax.scan over the v/2 rounds of eval + interpolation + in-VMEM
-    MiMC7 + fold.
-
-    Round 2 drove the rounds as ~3 dispatches each; through the tunneled
-    device each dispatch costs ~1 ms of enqueue latency, so the 40 rounds
-    of a 2^20 layer spent ~114 ms on dispatch against ~15 ms of compute
-    (scripts/profile_fused.py).  One scan program per phase makes the
-    round chain 2 dispatches per LAYER, and compiles each Mosaic kernel
-    exactly ONCE per (n, phase) instead of once per halved table size.
-
-    Shape invariance comes from the REPLICATED fold (pl_fold_rep): the
-    physical buffer keeps size n with each logical entry repeated 2^idx
-    times contiguously, so evaluations are 2^idx x the true sums and are
-    rescaled in-program by inv_pows[idx] = 2^-idx (exact mod p).  Traffic
-    is O(n) per round instead of the halving O(n) total — ~20 ms/layer at
-    2^20, bought back many times over in dispatch latency.
-
-    `is3` is the TRACED per-round coefficient-count schedule (True = hash
-    3 coefficients), so one compiled program serves every wiring/support
-    structure of the same table size."""
-    from . import pallas_kernels as PK
-
-    def body(S, xs):
-        is3_j, inv_j = xs
-        y = (PK.pl_phase1_eval(S) if phase == 1
-             else PK.pl_phase2_eval(S, wb))
-        y = L.mul_scalar(y, inv_j)              # undo replication factor
-        c2, c1, c0 = _interp3(y[0], y[1], y[2])
-        r = lax.cond(
-            is3_j,
-            lambda: PK.pl_mimc_multi(jnp.stack([c2, c1, c0])),
-            lambda: PK.pl_mimc_multi(jnp.stack([c1, c0])))
-        return PK.pl_fold_rep(S, r), (jnp.stack([c2, c1, c0]), r)
-
-    S_fin, (coeffs, rs) = lax.scan(body, S_T, (is3, inv_pows))
-    return S_fin, coeffs, rs
-
-
 SCAN_MAX = 1 << 15   # table size at which the round chain enters the scan
                      # program: above it eval is VPU-compute-bound and true
                      # halving wins; below it rounds are dispatch-bound
@@ -563,29 +522,48 @@ SCAN_MAX = 1 << 15   # table size at which the round chain enters the scan
                      # and one fixed-shape scan program wins
 
 
-def _run_phase_pallas(S_T, sched_phase, phase, wb):
-    """Pallas round chain: eager true-halving rounds while the table is
-    large (compute-bound), then ONE lax.scan program (_phase_scan) for the
-    dispatch-bound tail.  Returns (final stack, (k,3,16) coeffs, (k,16)
-    challenges) on device; the final stack is replication-invariant, so
-    [t][:, 0] is the fully-bound value."""
+@partial(jax.jit, static_argnums=(4, 5))
+def _phase_full(S_T, wb, inv_pows, is3, sched_eager, phase: int):
+    """ONE compiled program for an ENTIRE sumcheck phase: the true-halving
+    eager rounds UNROLLED (different table size each — still one trace)
+    followed by the fixed-shape _phase_scan tail inline.  Round 3 drove
+    each eager round as ~3 separate dispatches (eval, hash, fold); through
+    the tunneled device each dispatch costs ~1 ms of host enqueue latency,
+    so the 10 eager rounds of a 2^20 layer paid ~30 ms of pure dispatch.
+    One program per phase = 2 dispatches per LAYER for the whole round
+    chain.  The Mosaic kernel inventory is unchanged (the eager rounds
+    already compiled one eval/fold pair per halved size).
+
+    `sched_eager` is the static per-round coefficient-count schedule for
+    the eager section; the scan tail keeps its TRACED `is3` schedule so
+    one compiled tail serves every wiring of the same size."""
     from . import pallas_kernels as PK
 
-    kp = len(sched_phase)
     co_list, rs_list = [], []
-    idx = 0
-    while S_T.shape[-1] > SCAN_MAX and idx < kp:
+    for ln in sched_eager:
+        assert ln in (2, 3), "round polynomial degree out of protocol range"
         c2, c1, c0 = (_p1_round_T(S_T) if phase == 1
                       else _p2_round_T(S_T, wb))
-        r = _hash_round(c2, c1, c0, sched_phase[idx], True)
+        coeffs = [c2, c1, c0][3 - ln:]
+        r = PK.pl_mimc_multi(jnp.stack(coeffs))
         co_list.append(jnp.stack([c2, c1, c0]))
         rs_list.append(r)
         S_T = PK.pl_fold(S_T, r)
-        idx += 1
-    rest = kp - idx
+    rest = int(is3.shape[0])
     if rest:
-        is3 = jnp.asarray([sched_phase[idx + j] == 3 for j in range(rest)])
-        S_T, co_s, rs_s = _phase_scan(S_T, wb, _inv2_pows(rest), is3, phase)
+        def body(S, xs):
+            is3_j, inv_j = xs
+            y = (PK.pl_phase1_eval(S) if phase == 1
+                 else PK.pl_phase2_eval(S, wb))
+            y = L.mul_scalar(y, inv_j)          # undo replication factor
+            c2, c1, c0 = _interp3(y[0], y[1], y[2])
+            r = lax.cond(
+                is3_j,
+                lambda: PK.pl_mimc_multi(jnp.stack([c2, c1, c0])),
+                lambda: PK.pl_mimc_multi(jnp.stack([c1, c0])))
+            return PK.pl_fold_rep(S, r), (jnp.stack([c2, c1, c0]), r)
+
+        S_T, (co_s, rs_s) = lax.scan(body, S_T, (is3, inv_pows))
         if co_list:
             co = jnp.concatenate([jnp.stack(co_list), co_s])
             rs = jnp.concatenate([jnp.stack(rs_list), rs_s])
@@ -593,6 +571,51 @@ def _run_phase_pallas(S_T, sched_phase, phase, wb):
             co, rs = co_s, rs_s
     else:
         co, rs = jnp.stack(co_list), jnp.stack(rs_list)
+    return S_T, co, rs
+
+
+import os as _os
+FUSED_PHASE = _os.environ.get("GKR_FUSED_PHASE", "1") == "1"
+
+
+def _run_phase_pallas(S_T, sched_phase, phase, wb):
+    """Pallas round chain: eager true-halving rounds while the table is
+    large (compute-bound), then the fixed-shape scan tail — all inside one
+    compiled program (_phase_full).  Returns (final stack, (k,3,16) coeffs,
+    (k,16) challenges) on device; the final stack is replication-invariant,
+    so [t][:, 0] is the fully-bound value.
+
+    GKR_FUSED_PHASE=0 drives the eager rounds as separate dispatches with
+    only the tail in one scan program (the round-3 shape, for A/B)."""
+    from . import pallas_kernels as PK
+
+    kp = len(sched_phase)
+    n_eager = 0
+    m = S_T.shape[-1]
+    while m > SCAN_MAX and n_eager < kp:
+        m //= 2
+        n_eager += 1
+    rest = kp - n_eager
+    is3 = jnp.asarray([sched_phase[n_eager + j] == 3 for j in range(rest)],
+                      dtype=jnp.bool_)
+    inv_pows = _inv2_pows(rest) if rest else jnp.zeros((0, 16), jnp.uint32)
+    if FUSED_PHASE:
+        return _phase_full(S_T, wb, inv_pows, is3,
+                           tuple(sched_phase[:n_eager]), phase)
+    co_list, rs_list = [], []
+    for idx in range(n_eager):
+        c2, c1, c0 = (_p1_round_T(S_T) if phase == 1
+                      else _p2_round_T(S_T, wb))
+        r = _hash_round(c2, c1, c0, sched_phase[idx], True)
+        co_list.append(jnp.stack([c2, c1, c0]))
+        rs_list.append(r)
+        S_T = PK.pl_fold(S_T, r)
+    S_T, co_s, rs_s = _phase_full(S_T, wb, inv_pows, is3, (), phase)
+    if co_list:
+        co = jnp.concatenate([jnp.stack(co_list), co_s])
+        rs = jnp.concatenate([jnp.stack(rs_list), rs_s])
+    else:
+        co, rs = co_s, rs_s
     return S_T, co, rs
 
 

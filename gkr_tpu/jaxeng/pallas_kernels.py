@@ -463,6 +463,117 @@ def _pow7_rows(t):
     return _mmul_rows(t6, t)
 
 
+# ---- block (sublane-packed) scalar math for the latency-bound MiMC chain
+#
+# The Fiat-Shamir hash is a SINGLE field element: row math uses one sublane
+# of each vreg and a Montgomery multiply costs ~2800 sequential row ops, so
+# the 91-round x 4-mul chain runs ~1 ms/hash — the dominant cost of the
+# scan-tail rounds.  Packing the 16 limbs on SUBLANES as one (16, 128)
+# tile computes 16 partial products per VPU op (one sublane-broadcast
+# multiply + one pltpu.roll per column shift), ~3x fewer vreg-cycles.
+#
+# Bound discipline: _b_mul accepts inputs < 2p (clean 16-bit limbs; the
+# REDC precondition 4p^2 < p*R holds for BN254: 4p ~ 0.76 * 2^256) and
+# returns canonical < p; _b_add takes inputs < p and returns < p.  The
+# round input h + key + constant is then < 3p, and one conditional
+# subtract brings it under 2p — a valid _b_mul input.
+
+def _b_roll(x, shift):
+    return pltpu.roll(x, shift, 0)
+
+
+def _b_carry(x, sublanes):
+    """One sequential carry pass over `sublanes` relaxed rows of a
+    (sublanes, 128) block -> clean (<2^16) limbs, plus the carry row."""
+    carry = x[0] * jnp.uint32(0)
+    rows = []
+    for i in range(sublanes):
+        s = x[i] + carry
+        rows.append(s & M16)
+        carry = s >> 16
+    return jnp.stack(rows), carry
+
+
+def _b_cond_sub(x):
+    """(16, 128) clean limbs, value < 2p -> canonical < p."""
+    s, overflow = _b_carry(
+        jnp.stack([x[i] + jnp.uint32(NEGP_INTS[i]) for i in range(16)]), 16)
+    return jnp.where(overflow > 0, s, x)
+
+
+def _b_add(a, b):
+    """Block modular add: inputs < p -> result < p."""
+    s, _ = _b_carry(a + b, 16)
+    return _b_cond_sub(s)
+
+
+def _b_mul(a, b, p_block):
+    """Montgomery product of (16, 128) blocks, sublane i = limb i.
+    Inputs < 2p with clean limbs; output canonical < p."""
+    zeros16 = jnp.zeros_like(a)
+    C = jnp.concatenate([zeros16, zeros16], axis=0)      # (32,128) columns
+    for j in range(16):
+        bj = jnp.broadcast_to(b[j][None, :], a.shape)
+        p = a * bj                                       # exact in uint32
+        C = (C + _b_roll(jnp.concatenate([p & M16, zeros16], 0), j)
+               + _b_roll(jnp.concatenate([p >> 16, zeros16], 0), j + 1))
+    npr = jnp.uint32(NPRIME16)
+    for i in range(16):
+        ti_full = C[i]
+        c = ti_full >> 16
+        ti = ti_full & M16
+        m = (ti * npr) & M16
+        mb = jnp.broadcast_to(m[None, :], a.shape)
+        mp = mb * p_block                                # (16,128) exact
+        # low 16 bits of (ti + mp_lo[0]) vanish by construction of m;
+        # fold their carry (plus ti's own high part) into column i+1
+        mp0 = m * jnp.uint32(P_INTS[0])
+        carry_i = ((ti + (mp0 & M16)) >> 16) + c
+        mph = jnp.concatenate(
+            [(mp[0:1] >> 16) + carry_i[None, :], mp[1:] >> 16, zeros16], 0)
+        C = (C + _b_roll(jnp.concatenate([mp & M16, zeros16], 0), i)
+               + _b_roll(mph, i + 1))
+    s, _ = _b_carry(C[16:], 16)                          # value < 2p
+    return _b_cond_sub(s)
+
+
+def _b_pow7(t, p_block):
+    t2 = _b_mul(t, t, p_block)
+    t4 = _b_mul(t2, t2, p_block)
+    t6 = _b_mul(t4, t2, p_block)
+    return _b_mul(t6, t, p_block)
+
+
+def _make_mimc_kernel_block(length: int, n_rounds: int):
+    """Sublane-packed MiMC7 multi_hash: same schedule as
+    _make_mimc_kernel, ~3x lower VPU latency per hash (see block math
+    notes above).  Round constants arrive as a (n_rounds, 16, 128) VMEM
+    block (broadcast host-side once per process)."""
+
+    def kernel(x_ref, cts_ref, o_ref):
+        sub16 = jax.lax.broadcasted_iota(jnp.uint32, (16, 128), 0)
+        p_block = jnp.zeros((16, 128), jnp.uint32)
+        for j in range(16):
+            p_block = jnp.where(sub16 == j, jnp.uint32(P_INTS[j]), p_block)
+        r = jnp.zeros((16, 128), jnp.uint32)
+        for li in range(length):
+            x = x_ref[li]                                # (16, 128)
+            k_blk = r
+
+            def round_body(rd, h, k_blk=k_blk):
+                t, _ = _b_carry(h + k_blk + cts_ref[rd], 16)
+                return _b_pow7(_b_cond_sub(t), p_block)
+
+            t0, _ = _b_carry(x + k_blk, 16)
+            h = _b_pow7(_b_cond_sub(t0), p_block)
+            h = jax.lax.fori_loop(1, n_rounds, round_body, h)
+            hk = _b_add(h, k_blk)
+            r = _b_add(_b_add(r, x), hk)
+        o_ref[:] = _b_cond_sub(r)
+
+    return kernel
+
+
 def _make_mimc_kernel(length: int, n_rounds: int):
     """MiMC7 multi_hash over `length` field elements, all 91 rounds per
     element inside one kernel (lax.fori_loop, constants from SMEM).  The
@@ -498,31 +609,64 @@ def _mimc_cts_smem():
 
 _MIMC_PROGS: dict = {}
 
+MIMC_BLOCK = False   # sublane-packed MiMC kernel (see block math notes).
+                     # Measured on the v5e: 0.69 ms/hash vs 0.55 ms for the
+                     # row kernel (chained marginal timing) — the roll +
+                     # sublane-concat ops cost more than the op-count model
+                     # predicts, so the row kernel stays the default; the
+                     # block kernel is kept as a validated alternative
+                     # (scripts/check_kernels.py covers both paths).
+
 
 def pl_mimc_multi(x):
     """multi_hash(x, key=0) for x: (L, 16) Montgomery limbs -> (16,)."""
     length = x.shape[0]
-    prog = _MIMC_PROGS.get(length)
+    prog = _MIMC_PROGS.get((length, MIMC_BLOCK))
     if prog is None:
         from ..mimc import DEFAULT_ROUNDS
-        kernel = _make_mimc_kernel(length, DEFAULT_ROUNDS)
+        if MIMC_BLOCK:
+            kernel = _make_mimc_kernel_block(length, DEFAULT_ROUNDS)
 
-        @jax.jit
-        def prog(xin):
-            xb = jnp.broadcast_to(xin[..., None], (length, 16, 128))
-            out = pl.pallas_call(
-                kernel,
-                grid=(1,),
-                in_specs=[pl.BlockSpec((length, 16, 128), lambda i: (0, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pltpu.SMEM)],
-                out_specs=pl.BlockSpec((16, 128), lambda i: (0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((16, 128), jnp.uint32),
-            )(xb, _mimc_cts_smem())
-            return out[:, 0]
+            @jax.jit
+            def prog(xin):
+                xb = jnp.broadcast_to(xin[..., None], (length, 16, 128))
+                cts = jnp.broadcast_to(
+                    jnp.asarray(_mimc_cts_smem())[..., None],
+                    (DEFAULT_ROUNDS, 16, 128))
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(1,),
+                    in_specs=[
+                        pl.BlockSpec((length, 16, 128), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((DEFAULT_ROUNDS, 16, 128),
+                                     lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((16, 128), lambda i: (0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((16, 128), jnp.uint32),
+                )(xb, cts)
+                return out[:, 0]
+        else:
+            kernel = _make_mimc_kernel(length, DEFAULT_ROUNDS)
 
-        _MIMC_PROGS[length] = prog
+            @jax.jit
+            def prog(xin):
+                xb = jnp.broadcast_to(xin[..., None], (length, 16, 128))
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(1,),
+                    in_specs=[pl.BlockSpec((length, 16, 128),
+                                           lambda i: (0, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec(memory_space=pltpu.SMEM)],
+                    out_specs=pl.BlockSpec((16, 128), lambda i: (0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((16, 128), jnp.uint32),
+                )(xb, _mimc_cts_smem())
+                return out[:, 0]
+
+        _MIMC_PROGS[(length, MIMC_BLOCK)] = prog
     return prog(x)
 
 

@@ -98,7 +98,7 @@ from ..jaxeng.fused import (_interp3, _inv2_pows, _mmul_T,
 PALLAS_LOCAL_MIN = 16
 
 # Local rows at/below which the round chain runs as ONE lax.scan program
-# with REPLICATED folds (the fused engine's _phase_scan trick: the physical
+# with REPLICATED folds (the fused engine's _phase_full trick: the physical
 # buffer keeps its size, each logical entry repeated 2^idx times, evals
 # rescaled by 2^-idx) instead of one compiled program per halved size.
 # This bounds the compiled-program inventory per (D, n) at ~7 programs
@@ -411,7 +411,7 @@ class ShardedSumcheck:
         entry j is repeated 2^idx times contiguously after idx steps, so
         evaluations are 2^idx x the true sums and are rescaled in-program
         by inv_pows[idx] = 2^-idx (exact mod p) — the sharded twin of the
-        fused engine's _phase_scan (jaxeng/fused.py).  `is3` is the TRACED
+        fused engine's _phase_full (jaxeng/fused.py).  `is3` is the TRACED
         per-round coefficient-count schedule, so one compiled program
         serves every support structure of the same local size."""
         hp, ax = self.use_pallas, self.ax
