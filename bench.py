@@ -285,8 +285,10 @@ def run_device(k: int, breakdown: bool = True):
             return None                      # unmeasurable under noise
         return d / (hi - lo)
 
-    c1 = (na, nm, wiring.fast[0], wiring.fast[1])
-    c2 = (na, nm, wiring.fast[2], wiring.fast[3])
+    c1 = (na, nm, wiring.fast[0], wiring.fast[1],
+          wiring.mxu[0], wiring.mxu[1])
+    c2 = (na, nm, wiring.fast[2], wiring.fast[3],
+          wiring.mxu[2], wiring.mxu[3])
     import jax.numpy as jnp
     from gkr_tpu.field import P as _P
     # per-repetition operand variants so repeated calls cannot be coalesced

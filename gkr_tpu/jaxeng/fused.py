@@ -275,19 +275,37 @@ class LayerWiring(NamedTuple):
     m2_out: jnp.ndarray
     m2_l: jnp.ndarray
     m2_hib: jnp.ndarray
+    # MXU segment-sum plan (pl_seg_sum_T): sorted bucket keys (1, Gp) and
+    # interleaved [bi, bi+1] window block indices per output tile.  None
+    # when the plan is unavailable for that key column.
+    a1_keys: jnp.ndarray | None = None
+    a1_bi: jnp.ndarray | None = None
+    m1_keys: jnp.ndarray | None = None
+    m1_bi: jnp.ndarray | None = None
+    a2_keys: jnp.ndarray | None = None
+    a2_bi: jnp.ndarray | None = None
+    m2_keys: jnp.ndarray | None = None
+    m2_bi: jnp.ndarray | None = None
     # 4 bools (a1, m1, a2, m2): every bucket of that key column holds
     # < 2^16 gates, enabling the 16-bit segment-sum fast path.  Host-side
     # circuit constants; callers lift them into STATIC jit args (counts) —
     # as pytree leaves here they are traced-but-unused.
     fast: tuple = (False, False, False, False)
+    # 4 ints (a1, m1, a2, m2): pl_seg_sum_T window block width Wb, or 0 =
+    # use the cumsum fallback.  Same static-lift rule as `fast`.
+    mxu: tuple = (0, 0, 0, 0)
 
 
 def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
     """Host-side wiring precompute: pad gate columns to a power of two
-    (pad key = n, out of every bucket range) and pre-sort the index
-    columns by each phase's key."""
+    (pad key = n, out of every bucket range), pre-sort the index columns
+    by each phase's key, and lay out the MXU segment-sum plan (sorted
+    keys + per-tile window block indices; see pl_seg_sum_T)."""
+    from .pallas_kernels import SEG_NB, SEG_WB_CAP
+
     parts = {}
     fast = {}
+    mxu = {}
     for name, gates in (("a", add_gates), ("m", mult_gates)):
         gp = _pad_pow2(len(gates))
         g = np.zeros((3, gp), dtype=np.int32)
@@ -304,17 +322,50 @@ def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
             ).astype(np.int32)
             maxb = int(np.max(np.diff(hib, prepend=0))) if n else 0
             fast[f"{name}{phase}"] = bool(maxb < (1 << 16))
-            parts[f"{name}{phase}_out"] = jnp.asarray(
-                g[0][perm].astype(np.int32))
-            parts[f"{name}{phase}_{oname}"] = jnp.asarray(
-                g[othercol][perm].astype(np.int32))
-            parts[f"{name}{phase}_hib"] = jnp.asarray(hib)
+            out_col = g[0][perm].astype(np.int32)
+            oth_col = g[othercol][perm].astype(np.int32)
+            # MXU plan: per NB-bucket tile, the sorted-gate window
+            # [lo_g, hi_g) and the pow2 block width covering every span
+            key = f"{name}{phase}"
+            mxu[key] = 0
+            if n >= SEG_NB and n % SEG_NB == 0 and len(gates) > 0:
+                hib_z = np.concatenate([[0], hib])
+                lo_g = hib_z[np.arange(0, n, SEG_NB)]
+                hi_g = hib_z[np.arange(SEG_NB, n + 1, SEG_NB)]
+                span = int(np.max(hi_g - lo_g)) if len(lo_g) else 0
+                wb = max(512, 1 << max(0, int(span - 1).bit_length())) \
+                    if span else 512
+                if wb <= SEG_WB_CAP:
+                    mxu[key] = wb
+                    # one extra wb block past the last real gate (the bi+1
+                    # window fetch), then round to the downstream kernels'
+                    # 2048-lane block so pl_mont_mul_T tiles evenly
+                    lane = max(wb, 2048)
+                    gpad = -(-((-(-gp // wb)) * wb + wb) // lane) * lane
+                    out_col = np.pad(out_col, (0, gpad - gp))
+                    oth_col = np.pad(oth_col, (0, gpad - gp))
+                    sk_pad = np.full(gpad, n, np.int32)
+                    sk_pad[:gp] = sk
+                    bi = (lo_g // wb).astype(np.int32)
+                    biarr = np.empty(2 * (n // SEG_NB), np.int32)
+                    biarr[0::2] = bi
+                    biarr[1::2] = bi + 1
+                    parts[f"{key}_keys"] = jnp.asarray(sk_pad[None, :])
+                    parts[f"{key}_bi"] = jnp.asarray(biarr)
+            parts[f"{key}_out"] = jnp.asarray(out_col)
+            parts[f"{key}_{oname}"] = jnp.asarray(oth_col)
+            parts[f"{key}_hib"] = jnp.asarray(hib)
     return LayerWiring(
         a1_out=parts["a1_out"], a1_in=parts["a1_in"], a1_hib=parts["a1_hib"],
         m1_out=parts["m1_out"], m1_in=parts["m1_in"], m1_hib=parts["m1_hib"],
         a2_out=parts["a2_out"], a2_l=parts["a2_l"], a2_hib=parts["a2_hib"],
         m2_out=parts["m2_out"], m2_l=parts["m2_l"], m2_hib=parts["m2_hib"],
-        fast=(fast["a1"], fast["m1"], fast["a2"], fast["m2"]))
+        a1_keys=parts.get("a1_keys"), a1_bi=parts.get("a1_bi"),
+        m1_keys=parts.get("m1_keys"), m1_bi=parts.get("m1_bi"),
+        a2_keys=parts.get("a2_keys"), a2_bi=parts.get("a2_bi"),
+        m2_keys=parts.get("m2_keys"), m2_bi=parts.get("m2_bi"),
+        fast=(fast["a1"], fast["m1"], fast["a2"], fast["m2"]),
+        mxu=(mxu["a1"], mxu["m1"], mxu["a2"], mxu["m2"]))
 
 
 MUL_PALLAS_MIN = 1 << 10     # smallest (16, G) routed to the Pallas mul
@@ -341,11 +392,13 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     ~0.6 ms in-kernel).  Returns (S1, eqz) — the eq(z) table is reused by
     the phase-2 build.
 
-    `counts` is STATIC: (n_add, n_mult, fast_a1, fast_m1) with the fast
-    flags from build_wiring (16-bit segment path)."""
+    `counts` is STATIC: (n_add, n_mult, fast_a1, fast_m1, wb_a1, wb_m1)
+    with the fast flags and MXU window widths from build_wiring."""
     na, nm = counts[0], counts[1]
     fa1 = counts[2] if len(counts) > 2 else False
     fm1 = counts[3] if len(counts) > 3 else False
+    wba1 = counts[4] if len(counts) > 4 else 0
+    wbm1 = counts[5] if len(counts) > 5 else 0
     if pallas:
         from . import pallas_kernels as PK
         w_T = w_dev.T
@@ -354,8 +407,12 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
         if na:
             wa = eqz_T[:, wiring.a1_out]
             prod_a = _mmul_T(wa, w_T[:, wiring.a1_in])
-            ha1_rel, ha2_rel = _seg_sorted_T(
-                wiring.a1_hib, [wa, prod_a], n, fast=fa1)
+            if wba1:
+                ha1_rel, ha2_rel = PK.pl_seg_sum_T(
+                    [wa, prod_a], wiring.a1_keys, wiring.a1_bi, n, wba1)
+            else:
+                ha1_rel, ha2_rel = _seg_sorted_T(
+                    wiring.a1_hib, [wa, prod_a], n, fast=fa1)
             ha1 = PK.pl_normalize_T(ha1_rel)
             ha2 = PK.pl_normalize_T(ha2_rel)
         else:
@@ -363,7 +420,12 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
         if nm:
             wm = eqz_T[:, wiring.m1_out]
             prod_m = _mmul_T(wm, w_T[:, wiring.m1_in])
-            (hm_rel,) = _seg_sorted_T(wiring.m1_hib, [prod_m], n, fast=fm1)
+            if wbm1:
+                (hm_rel,) = PK.pl_seg_sum_T(
+                    [prod_m], wiring.m1_keys, wiring.m1_bi, n, wbm1)
+            else:
+                (hm_rel,) = _seg_sorted_T(wiring.m1_hib, [prod_m], n,
+                                          fast=fm1)
             hm = PK.pl_normalize_T(hm_rel)
         else:
             hm = zt
@@ -392,10 +454,12 @@ def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
     """Phase-2 prep: eq(b*) table + the FA and FM*W~(b*) tables, stacked
     with W — layouts as in _build_phase1 (`eqz` arrives in the matching
     layout: (16, 2^kc) when pallas, (2^kc, 16) otherwise).  `counts` is
-    STATIC: (n_add, n_mult, fast_a2, fast_m2)."""
+    STATIC: (n_add, n_mult, fast_a2, fast_m2, wb_a2, wb_m2)."""
     na, nm = counts[0], counts[1]
     fa2 = counts[2] if len(counts) > 2 else False
     fm2 = counts[3] if len(counts) > 3 else False
+    wba2 = counts[4] if len(counts) > 4 else 0
+    wbm2 = counts[5] if len(counts) > 5 else 0
     if pallas:
         from . import pallas_kernels as PK
         w_T = w_dev.T
@@ -403,13 +467,21 @@ def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
         zt = jnp.zeros((16, n), jnp.uint32)
         if na:
             wa2 = _mmul_T(eqz[:, wiring.a2_out], eqb_T[:, wiring.a2_l])
-            (fa_rel,) = _seg_sorted_T(wiring.a2_hib, [wa2], n, fast=fa2)
+            if wba2:
+                (fa_rel,) = PK.pl_seg_sum_T(
+                    [wa2], wiring.a2_keys, wiring.a2_bi, n, wba2)
+            else:
+                (fa_rel,) = _seg_sorted_T(wiring.a2_hib, [wa2], n, fast=fa2)
             fa = PK.pl_normalize_T(fa_rel)
         else:
             fa = zt
         if nm:
             wm2 = _mmul_T(eqz[:, wiring.m2_out], eqb_T[:, wiring.m2_l])
-            (fm_rel,) = _seg_sorted_T(wiring.m2_hib, [wm2], n, fast=fm2)
+            if wbm2:
+                (fm_rel,) = PK.pl_seg_sum_T(
+                    [wm2], wiring.m2_keys, wiring.m2_bi, n, wbm2)
+            else:
+                (fm_rel,) = _seg_sorted_T(wiring.m2_hib, [wm2], n, fast=fm2)
             fmwb = PK.pl_normalize_mul_T(fm_rel, wb)
         else:
             fmwb = zt
@@ -464,17 +536,28 @@ def _p2_round(S, wb):
 
 @jax.jit
 def _p1_round_T(S_T):
-    """Pallas-layout phase-1 round: S_T (4, 16, m) -> (c2, c1, c0)."""
+    """Pallas-layout phase-1 round: S_T (4, 16, m) -> (3, 16) coeffs
+    (c2, c1, c0) — block partial sums + one finalize kernel
+    (pl_round_coeffs) instead of the ~0.4 ms of tiny XLA glue the
+    normalize/sum/interp chain cost per round."""
     from . import pallas_kernels as PK
-    y = PK.pl_phase1_eval(S_T)
-    return _interp3(y[0], y[1], y[2])
+    return PK.pl_round_coeffs(PK.pl_phase1_partials(S_T), MONT_ONE_DEV())
 
 
 @jax.jit
 def _p2_round_T(S_T, wb):
     from . import pallas_kernels as PK
-    y = PK.pl_phase2_eval(S_T, wb)
-    return _interp3(y[0], y[1], y[2])
+    return PK.pl_round_coeffs(PK.pl_phase2_partials(S_T, wb),
+                              MONT_ONE_DEV())
+
+
+_MONT_ONE_CACHE: list = []
+
+
+def MONT_ONE_DEV():
+    if not _MONT_ONE_CACHE:
+        _MONT_ONE_CACHE.append(jnp.asarray(L.MONT_ONE))
+    return _MONT_ONE_CACHE[0]
 
 
 # Compiled exactly once each per process; reused for every round of every
@@ -542,26 +625,24 @@ def _phase_full(S_T, wb, inv_pows, is3, sched_eager, phase: int):
     co_list, rs_list = [], []
     for ln in sched_eager:
         assert ln in (2, 3), "round polynomial degree out of protocol range"
-        c2, c1, c0 = (_p1_round_T(S_T) if phase == 1
-                      else _p2_round_T(S_T, wb))
-        coeffs = [c2, c1, c0][3 - ln:]
-        r = PK.pl_mimc_multi(jnp.stack(coeffs))
-        co_list.append(jnp.stack([c2, c1, c0]))
+        co = (_p1_round_T(S_T) if phase == 1
+              else _p2_round_T(S_T, wb))               # (3, 16) c2,c1,c0
+        r = PK.pl_mimc_multi(co[3 - ln:])
+        co_list.append(co)
         rs_list.append(r)
         S_T = PK.pl_fold(S_T, r)
     rest = int(is3.shape[0])
     if rest:
         def body(S, xs):
             is3_j, inv_j = xs
-            y = (PK.pl_phase1_eval(S) if phase == 1
-                 else PK.pl_phase2_eval(S, wb))
-            y = L.mul_scalar(y, inv_j)          # undo replication factor
-            c2, c1, c0 = _interp3(y[0], y[1], y[2])
+            part = (PK.pl_phase1_partials(S) if phase == 1
+                    else PK.pl_phase2_partials(S, wb))
+            co = PK.pl_round_coeffs(part, inv_j)       # rescale + interp
             r = lax.cond(
                 is3_j,
-                lambda: PK.pl_mimc_multi(jnp.stack([c2, c1, c0])),
-                lambda: PK.pl_mimc_multi(jnp.stack([c1, c0])))
-            return PK.pl_fold_rep(S, r), (jnp.stack([c2, c1, c0]), r)
+                lambda: PK.pl_mimc_multi(co),
+                lambda: PK.pl_mimc_multi(co[1:]))
+            return PK.pl_fold_rep(S, r), (co, r)
 
         S_T, (co_s, rs_s) = lax.scan(body, S_T, (is3, inv_pows))
         if co_list:
@@ -604,10 +685,10 @@ def _run_phase_pallas(S_T, sched_phase, phase, wb):
                            tuple(sched_phase[:n_eager]), phase)
     co_list, rs_list = [], []
     for idx in range(n_eager):
-        c2, c1, c0 = (_p1_round_T(S_T) if phase == 1
-                      else _p2_round_T(S_T, wb))
-        r = _hash_round(c2, c1, c0, sched_phase[idx], True)
-        co_list.append(jnp.stack([c2, c1, c0]))
+        co = (_p1_round_T(S_T) if phase == 1
+              else _p2_round_T(S_T, wb))
+        r = _hash_round(co[0], co[1], co[2], sched_phase[idx], True)
+        co_list.append(co)
         rs_list.append(r)
         S_T = PK.pl_fold(S_T, r)
     S_T, co_s, rs_s = _phase_full(S_T, wb, inv_pows, is3, (), phase)
@@ -691,8 +772,10 @@ def prove_layer_sumcheck_fused(
 
     pallas_build = use_pallas and n >= PALLAS_MIN
     fast = wiring.fast
+    mxu = wiring.mxu
     S1, eqz = _build_phase1(w_dev, z_dev, wiring,
-                            (na, nm, fast[0], fast[1]), n, pallas_build)
+                            (na, nm, fast[0], fast[1], mxu[0], mxu[1]),
+                            n, pallas_build)
     if pallas_build:
         S1, co1, rs1 = _run_phase_pallas(S1, sched[:k], 1,
                                          jnp.zeros((16,), jnp.uint32))
@@ -706,7 +789,8 @@ def prove_layer_sumcheck_fused(
         co1, rs1 = jnp.stack(rows1), b_star
 
     S2 = _build_phase2(w_dev, b_star, wb, eqz, wiring,
-                       (na, nm, fast[2], fast[3]), n, pallas_build)
+                       (na, nm, fast[2], fast[3], mxu[2], mxu[3]),
+                       n, pallas_build)
     if pallas_build:
         _, co2, rs2 = _run_phase_pallas(S2, sched[k:], 2, wb)
     else:

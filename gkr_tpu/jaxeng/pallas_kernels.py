@@ -389,6 +389,122 @@ def pl_phase2_eval(S_T, wb):
 
 R2_INTS = [(R2 >> (16 * i)) & 0xFFFF for i in range(16)]
 
+# ------------------------------------------- fused round-coefficient path
+#
+# The scan-tail rounds spent ~0.4 ms/round on XLA glue between kernels
+# (normalize_relaxed + sum_mod of the per-block partials, the replication
+# rescale, and _interp3 — each a chain of tiny (16,)-shaped XLA ops).
+# pl_phase*_partials emit the raw relaxed block sums in (3, 16, grid)
+# lane-major layout and pl_round_coeffs finishes everything (reduce,
+# REDC, rescale, degree-2 interpolation) in one tiny kernel.
+
+_R_MONT = (1 << 256) % P
+INV2_INTS = [((pow(2, P - 2, P) * _R_MONT) % P >> (16 * i)) & 0xFFFF
+             for i in range(16)]
+
+
+def pl_phase1_partials(S_T):
+    """S_T: (4, 16, n) -> (grid, 3, 16) RELAXED per-block sums (< 2^27):
+    the raw output of the phase-1 eval kernel, finished by
+    pl_round_coeffs instead of the XLA normalize/sum chain."""
+    n = S_T.shape[-1]
+    half = n // 2
+    block = min(BLOCK, half)
+    grid = half // block
+    return pl.pallas_call(
+        _phase1_eval_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((4, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((4, 16, block),
+                               lambda i, g=grid: (0, 0, i + g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 3, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 3, 16), jnp.uint32),
+    )(S_T, S_T)
+
+
+def pl_phase2_partials(S_T, wb):
+    n = S_T.shape[-1]
+    half = n // 2
+    block = min(BLOCK, half)
+    grid = half // block
+    return pl.pallas_call(
+        _phase2_eval_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((3, 16, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, 16, block),
+                               lambda i, g=grid: (0, 0, i + g),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 3, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 3, 16), jnp.uint32),
+    )(S_T, S_T, wb.reshape(1, 16))
+
+
+def _finalize_kernel(x_ref, inv_ref, o_ref):
+    """(17, 128) relaxed 17-limb columns of y(t) at lanes t = 0,1,2
+    (garbage elsewhere) + (1, 16) SMEM rescale scalar -> (16, 3)
+    canonical degree-2 coefficients [c2 | c1 | c0] per lane.
+
+    Only layout-safe primitives: leading-dim slicing into plain (128,)
+    rows (the MiMC row-kernel pattern) and lane rolls; slicing a tiny
+    (3,)-vector at a nonzero offset crashes Mosaic's layout inferer."""
+    x = x_ref[:]
+    zero = jnp.zeros_like(x[0])
+    cols = [x[i] for i in range(17)] + [zero] * 15   # (128,) rows
+    y0 = _redc_cols(cols)                            # value / R
+    y0 = _mmul_rows(y0, R2_INTS)                     # canonical y(t)
+    inv = [inv_ref[0, i] for i in range(16)]
+    y0 = _mmul_rows(y0, inv)                         # replication rescale
+    Y = jnp.stack(y0, 0)                             # (16, 128)
+    Y1 = pltpu.roll(Y, 127, 1)                       # lane 0 <- y(1)
+    Y2 = pltpu.roll(Y, 126, 1)                       # lane 0 <- y(2)
+    y1 = [Y1[i] for i in range(16)]
+    y2 = [Y2[i] for i in range(16)]
+    # c2 = (y2 + y0 - 2 y1) / 2 ; c1 = y1 - y0 - c2 ; c0 = y0
+    c2 = _mmul_rows(_sub_rows(_add_rows(y2, y0), _add_rows(y1, y1)),
+                    INV2_INTS)
+    c1 = _sub_rows(_sub_rows(y1, y0), c2)
+    # valid at lane 0 of each (128,) row
+    o_ref[:] = jnp.stack(
+        [jnp.stack([c2[i][0], c1[i][0], y0[i][0]]) for i in range(16)])
+
+
+@jax.jit
+def pl_round_coeffs(partials, inv):
+    """partials (G, 3, 16) relaxed block sums (< 2^27), inv (16,)
+    Montgomery -> (3, 16) canonical (c2, c1, c0).
+
+    The cross-block reduce + lo/hi 17-limb recombination are ~6 tiny XLA
+    ops; the REDC + rescale + interpolation chain (the expensive glue,
+    ~0.4 ms/round as plain XLA) runs in one kernel."""
+    G = partials.shape[0]
+    assert G <= (1 << 14), "block-reduce split bound (int32 partial sums)"
+    lo = jnp.sum((partials & jnp.uint32(M16)).astype(jnp.int32), axis=0,
+                 dtype=jnp.int32).astype(jnp.uint32)          # (3, 16)
+    hi = jnp.sum((partials >> 16).astype(jnp.int32), axis=0,
+                 dtype=jnp.int32).astype(jnp.uint32)
+    cols = (jnp.pad(lo, ((0, 0), (0, 1)))
+            + jnp.pad(hi, ((0, 0), (1, 0))))                  # (3, 17)
+    X = jnp.zeros((17, 128), jnp.uint32).at[:, :3].set(cols.T)
+    out = pl.pallas_call(
+        _finalize_kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((17, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 16), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((16, 3), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, 3), jnp.uint32),
+    )(X, inv.reshape(1, 16))
+    return out.T
+
 
 def _normalize_kernel(t_ref, o_ref):
     lin, block = t_ref.shape[-2], t_ref.shape[-1]
@@ -452,6 +568,82 @@ def pl_normalize_mul_T(t, s):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32),
     )(t, s.reshape(1, 16))
+
+
+# ------------------------------------------------------- MXU segment sum
+
+SEG_NB = 1 << 10         # output buckets per grid step (1024 = 8 dense vregs)
+SEG_WB_CAP = 1 << 12     # max window block (VMEM bound, validated on v5e)
+
+
+def _make_seg_kernel(T: int, NB: int, Wb: int):
+    """Banded one-hot MXU segment sum: per output tile of NB buckets,
+    per-bucket sums of T weight tables over gates SORTED by bucket key.
+
+    out[t*NB + b] = sum_{g: key_g == t*NB+b} w_g, computed as
+    (byte-planes of w)[32T, 2Wb] @ onehot(key == bucket)[2Wb, NB] on the
+    MXU.  Sorted keys make the one-hot matrix block-banded: the host
+    prescribes, per tile, which two Wb-blocks of the gate list cover the
+    tile's buckets (scalar-prefetched block indices), so total MACs are
+    O(32T * 2Wb * n) instead of O(G * n).  Exactness: bf16 holds 0..255
+    and 0/1 exactly; f32 accumulates <= Wb*255 < 2^24 products exactly.
+
+    Replaces the round-3 cumsum + boundary-gather segment build (XLA
+    gather runs ~9 GB/s on this chip; measured 8 ms/table at 2^20 vs
+    1.9 ms here, 2.15 ms for T=2 sharing one one-hot build)."""
+
+    def kernel(bi_ref, w1_ref, w2_ref, k1_ref, k2_ref, o_ref):
+        t = pl.program_id(0)
+        base = t * NB
+        w = jnp.concatenate([w1_ref[:], w2_ref[:]], axis=2)   # (T,16,2Wb)
+        keys = jnp.concatenate([k1_ref[:], k2_ref[:]], axis=1)
+        rows = ([(w[i] & 0xFF).astype(jnp.int32) for i in range(T)]
+                + [(w[i] >> 8).astype(jnp.int32) for i in range(T)])
+        lhs = jnp.concatenate(rows, axis=0)                   # (32T, 2Wb)
+        lhs_b = lhs.astype(jnp.float32).astype(jnp.bfloat16)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (NB, 2 * Wb), 0) + base
+        # NOTE: build the one-hot via bool->f32->bf16; a bf16 select
+        # crashes the Mosaic compiler on this toolchain
+        M_T = (sub == keys).astype(jnp.float32).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(lhs_b, M_T, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc = out.astype(jnp.int32).astype(jnp.uint32)
+        o_ref[:] = jnp.stack(
+            [acc[16 * i:16 * (i + 1)] + (acc[16 * (T + i):16 * (T + i + 1)] << 8)
+             for i in range(T)])
+
+    return kernel
+
+
+def pl_seg_sum_T(weights_T, keys, biarr, n: int, Wb: int):
+    """Segment sum of T tables sharing one sorted key column.
+
+    weights_T: list of (16, Gp) uint32 canonical limb tables, gate order
+    sorted by bucket key, padded to Gp = m*Wb + Wb with key = n in the pad
+    (the final Wb block guarantees the bi+1 window fetch never re-reads a
+    real block — a clamped duplicate fetch would double-count).
+    keys: (1, Gp) int32 sorted bucket ids.  biarr: (2*n/NB,) int32
+    interleaved [bi, bi+1] window block indices per tile (host plan).
+    Returns a list of (16, n) RELAXED uint32 tables (limbs < 2^31) for
+    pl_normalize_T."""
+    T = len(weights_T)
+    NB = SEG_NB
+    assert n % NB == 0 and Wb <= SEG_WB_CAP
+    w = weights_T[0][None] if T == 1 else jnp.stack(weights_T)
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // NB,),
+        in_specs=[pl.BlockSpec((T, 16, Wb), lambda t, bi: (0, 0, bi[2 * t])),
+                  pl.BlockSpec((T, 16, Wb),
+                               lambda t, bi: (0, 0, bi[2 * t + 1])),
+                  pl.BlockSpec((1, Wb), lambda t, bi: (0, bi[2 * t])),
+                  pl.BlockSpec((1, Wb), lambda t, bi: (0, bi[2 * t + 1]))],
+        out_specs=pl.BlockSpec((T, 16, NB), lambda t, bi: (0, 0, t)))
+    out = pl.pallas_call(
+        _make_seg_kernel(T, NB, Wb), grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((T, 16, n), jnp.uint32),
+    )(biarr, w, w, keys, keys)
+    return [out[i] for i in range(T)]
 
 
 # ------------------------------------------------------------- MiMC7 kernel
