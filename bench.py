@@ -15,6 +15,13 @@ Prints ONE JSON line.  Fields:
                             host implementation available.
   cpp_gates_per_sec       : that baseline, recorded
   host_py_gates_per_sec   : pure-Python engine rate (measured at 2^12)
+  pipelined_gates_per_sec : steady-state serving throughput — a batch of
+                            instances of one circuit proved back-to-back
+                            with ONE device->host sync for the batch
+                            (the per-layer sync the isolated headline
+                            pays is ~25 ms through the tunneled host);
+                            pipelined_layer_ms is the per-layer amortized
+                            wall-clock
   sumcheck_rounds_per_sec : v = 2k rounds per layer / layer seconds
   fr_mle_evals_per_sec    : table-entry evaluation rate; one "eval" is one
                             Fr table entry consumed by a round evaluation
@@ -339,6 +346,49 @@ def run_device(k: int, breakdown: bool = True):
     return best, b1, b2, peak
 
 
+def run_device_pipelined(k: int, batch: int = 6):
+    """Steady-state pipelined throughput: `batch` instances of the same
+    circuit proved back-to-back (distinct Fiat-Shamir inputs z), all
+    layer programs enqueued asynchronously, ONE device->host sync for
+    the whole batch (prove_layer_sumcheck_fused defer=True), then host
+    FS validation of every transcript.  This is the production serving
+    shape — one circuit, many instances — and amortizes the per-layer
+    sync that the isolated headline pays in full (~25 ms through the
+    tunneled bench host, larger than the whole round chain)."""
+    import jax
+
+    from gkr_tpu.mimc import Mimc7
+    from gkr_tpu.jaxeng import limbs as L
+    from gkr_tpu.jaxeng import fused as F
+    from gkr_tpu.field import P
+
+    rng = random.Random(1)
+    z0, w, ag, mg, kc, struct = synth_layer(rng, k)
+    n = 1 << k
+    w_dev = L.pack(w)
+    w_dev.block_until_ready()
+    wiring = F.build_wiring(ag, mg, n)
+    jax.block_until_ready(wiring)
+    z_list = [[rng.randrange(P) for _ in range(kc)] for _ in range(batch)]
+
+    def run():
+        t0 = time.time()
+        outs = [F.prove_layer_sumcheck_fused(
+            z_list[i], w, ag, mg, kc, k, struct, Mimc7(),
+            w_dev=w_dev, wiring=wiring, defer=True) for i in range(batch)]
+        host = jax.device_get([o[0] for o in outs])
+        for (_, fin), h in zip(outs, host):
+            fin(h)
+        return time.time() - t0
+
+    run()                                    # warmup (compiles shared)
+    best = None
+    for _ in range(3):
+        dt = run()
+        best = dt if best is None or dt < best else best
+    return batch * n / best, best / batch
+
+
 class _TimedBackend:
     """Per-stage timing proxy around a prover backend (full-prove mode)."""
 
@@ -548,9 +598,18 @@ def main() -> int:
     except Exception:  # pragma: no cover
         pass
 
+    try:
+        pipe_rate, pipe_layer_s = run_device_pipelined(k)
+    except Exception:  # pragma: no cover
+        pipe_rate = pipe_layer_s = None
+
     out.update({
         "value": round(device_rate, 1),
         "vs_baseline": round(device_rate / baseline, 2),
+        "pipelined_gates_per_sec": (round(pipe_rate, 1)
+                                    if pipe_rate else None),
+        "pipelined_layer_ms": (round(pipe_layer_s * 1000, 1)
+                               if pipe_layer_s else None),
         "cpp_gates_per_sec": round(cpp_rate, 1) if cpp_rate else None,
         "cpp_measured_at": f"2^{cpp_k}",
         "host_cpus": os.cpu_count(),

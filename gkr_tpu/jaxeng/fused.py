@@ -585,17 +585,22 @@ _INV2_POWS_CACHE: dict = {}
 
 def _inv2_pows(k: int):
     """(k, 16) Montgomery limbs of 2^-idx mod p, idx = 0..k-1 — the
-    replication rescale factors for the scan phase program."""
+    replication rescale factors for the scan phase program.  The cache
+    holds HOST numpy (a jnp array created during an outer trace would
+    cache a tracer)."""
     t = _INV2_POWS_CACHE.get(k)
     if t is None:
+        from ..field import R
         inv2 = pow(2, P - 2, P)
-        vals, cur = [], 1
-        for _ in range(k):
-            vals.append(cur)
+        t = np.empty((k, 16), np.uint32)
+        cur = 1
+        for i in range(k):
+            mont = cur * R % P
+            t[i] = np.frombuffer(mont.to_bytes(32, "little"),
+                                 dtype=np.uint16).astype(np.uint32)
             cur = cur * inv2 % P
-        t = L.pack(vals)
         _INV2_POWS_CACHE[k] = t
-    return t
+    return jnp.asarray(t)
 
 
 SCAN_MAX = 1 << 15   # table size at which the round chain enters the scan
@@ -742,6 +747,7 @@ def prove_layer_sumcheck_fused(
     w_dev=None,
     use_pallas: bool | None = None,
     wiring: LayerWiring | None = None,
+    defer: bool = False,
 ):
     """Drop-in replacement for gkr_tpu.sumcheck.prove_layer_sumcheck — a
     device-resident round chain with exactly one download per layer, the
@@ -749,7 +755,15 @@ def prove_layer_sumcheck_fused(
 
     `wiring` carries the circuit-static gate arrays + segment-sum plans;
     pass a cached LayerWiring to skip the per-proof host prep (the backend
-    caches one per layer)."""
+    caches one per layer).
+
+    `defer=True` returns (device_arrays, finish) WITHOUT synchronizing:
+    `finish(jax.device_get(device_arrays))` produces (proof, challenges)
+    with the same host Fiat-Shamir validation.  Steady-state pipelined
+    proving (many instances of one circuit) enqueues every instance's
+    layer programs back-to-back and pays the device->host sync once per
+    BATCH instead of once per layer — on the tunneled bench host that
+    sync is ~25 ms/layer, larger than the whole round chain."""
     k = k_next
     v = 2 * k
     assert v >= 2
@@ -798,21 +812,25 @@ def prove_layer_sumcheck_fused(
                                             use_pallas=use_pallas)
         co2, rs2 = jnp.stack(rows2), jnp.stack(rs2_list)
 
-    # ONE small download for the whole layer.
-    h1, h2, hr1, hr2 = jax.device_get((co1, co2, rs1, rs2))
-    flat = L.unpack(np.concatenate([h1, h2]))      # v * 3 ints
-    rs_device = L.unpack(np.concatenate([hr1, hr2]))   # v ints
+    def finish(host_arrays):
+        h1, h2, hr1, hr2 = host_arrays
+        flat = L.unpack(np.concatenate([h1, h2]))      # v * 3 ints
+        rs_device = L.unpack(np.concatenate([hr1, hr2]))   # v ints
+        proof: list[list[int]] = []
+        challenges: list[int] = []
+        for j in range(1, v + 1):
+            full = flat[3 * (j - 1): 3 * j]
+            coeffs = shape_coeffs(full, sched[j - 1])
+            proof.append(coeffs)
+            r = transcript.multi_hash(coeffs, 0)
+            if r != rs_device[j - 1]:
+                # explicit exception (not assert): must fire under -O too
+                raise RuntimeError(
+                    f"device/host Fiat-Shamir divergence at round {j}")
+            challenges.append(r)
+        return proof, challenges
 
-    proof: list[list[int]] = []
-    challenges: list[int] = []
-    for j in range(1, v + 1):
-        full = flat[3 * (j - 1): 3 * j]
-        coeffs = shape_coeffs(full, sched[j - 1])
-        proof.append(coeffs)
-        r = transcript.multi_hash(coeffs, 0)
-        if r != rs_device[j - 1]:
-            # explicit exception (not assert): must fire under python -O too
-            raise RuntimeError(
-                f"device/host Fiat-Shamir divergence at round {j}")
-        challenges.append(r)
-    return proof, challenges
+    if defer:
+        return (co1, co2, rs1, rs2), finish
+    # ONE small download for the whole layer.
+    return finish(jax.device_get((co1, co2, rs1, rs2)))
