@@ -67,17 +67,31 @@ def _from_mont(C):
 
 @jax.jit
 def _multi_point_fold(W, pts):
-    """Evaluate the MLE of W (n, 16) at npts points (npts, k, 16)."""
+    """Evaluate the MLE of W (n, 16) at npts points (npts, k, 16).
+    The per-step Montgomery multiplies route through the Pallas kernel
+    on TPU (the XLA limb lowering costs ~42 ms per 2^20 muls — the
+    dominant restrict_to_line cost at 2^20)."""
+    from .fused import _pallas_platform
+
     npts = pts.shape[0]
     n = W.shape[0]
     k = pts.shape[1]
+    use_pallas = _pallas_platform()
     T = jnp.broadcast_to(W, (npts, n, 16))
     for j in range(k):
         half = T.shape[1] // 2
         lo, hi = T[:, :half], T[:, half:]
         diff = L.sub_mod(hi, lo)
         r = jnp.broadcast_to(pts[:, j][:, None, :], diff.shape)
-        T = L.add_mod(lo, L.mont_mul(diff, r))
+        flat = npts * half
+        if use_pallas and flat % 2048 == 0:
+            from . import pallas_kernels as PK
+            prod = PK.pl_mont_mul(
+                diff.reshape(flat, 16), r.reshape(flat, 16)
+            ).reshape(npts, half, 16)
+        else:
+            prod = L.mont_mul(diff, r)
+        T = L.add_mod(lo, prod)
     return T[:, 0]
 
 

@@ -65,8 +65,31 @@ SEL_HI = jnp.asarray(_sel_hi)
 
 # --------------------------------------------------------------- host codec
 
+PACK_DEVICE_MIN = 1 << 12    # below this the host does the *R % P directly
+
+
 def pack(values, montgomery: bool = True) -> jnp.ndarray:
-    """Python ints (canonical, [0,P)) -> uint32[..., 16] limb array."""
+    """Python ints (canonical, [0,P)) -> uint32[..., 16] limb array.
+
+    Large tables skip the host-side Montgomery conversion (a Python
+    bigint modmul per element — ~3 s per 2^20 witness layer, the
+    dominant stage of a full prove) and multiply by R^2 on device
+    instead: v * R2 / R = v * R mod p, bit-identical."""
+    n = len(values)
+    if montgomery and n >= PACK_DEVICE_MIN:
+        b = b"".join((int(v) % P).to_bytes(32, "little") for v in values)
+        raw = np.frombuffer(b, dtype=np.uint16).astype(np.uint32)
+        dev = jnp.asarray(raw.reshape(n, N_LIMBS))
+        r2 = jnp.broadcast_to(R2_LIMBS, (n, N_LIMBS))
+        try:
+            import jax
+            if (jax.devices()[0].platform not in ("cpu",)
+                    and n % 2048 == 0):
+                from . import pallas_kernels as PK
+                return PK.pl_mont_mul(dev, r2)
+        except Exception:  # pragma: no cover
+            pass
+        return jmul(dev, r2)
     vals = [int(v) % P for v in values]
     if montgomery:
         vals = [v * R % P for v in vals]

@@ -89,8 +89,20 @@ def prove_subcircuits(circuits, w_values_list, backend=None,
     ctx = multiprocessing.get_context("spawn")   # never fork XLA threads
     tasks = [(circuits[i], w_values_list[i], check_verify)
              for i in range(nsub)]
-    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
-        return list(pool.map(_prove_subcircuit_task, tasks))
+    # Host workers are pure-Python provers: scrub the TPU-plugin trigger
+    # from the child env so each spawn skips the site-level axon+jax
+    # import (~2.1 s per worker on the tunneled host, larger than a
+    # whole 2^13 subcircuit proof) and cannot contend for the chip.
+    scrub = {}
+    for var in ("PALLAS_AXON_POOL_IPS",):
+        if var in os.environ:
+            scrub[var] = os.environ.pop(var)
+    try:
+        with ProcessPoolExecutor(max_workers=workers,
+                                 mp_context=ctx) as pool:
+            return list(pool.map(_prove_subcircuit_task, tasks))
+    finally:
+        os.environ.update(scrub)
 
 
 def _phase(label: str, t0: float) -> float:

@@ -135,6 +135,12 @@ def main() -> int:
         "transcript_identical_across_D": True,
     }
     print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"recorded to {path}", file=sys.stderr)
     return 0
 
 

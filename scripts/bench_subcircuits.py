@@ -20,6 +20,7 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
+import os
 import random
 import sys
 import time
@@ -72,6 +73,7 @@ def main() -> int:
     out = {
         "metric": f"subcircuit_prove_scaling_{n_sub}x2e{k}",
         "pool": "process (spawn), prove_subcircuits",
+        "host_cpus": os.cpu_count(),
         "total_gates": gates,
         "sequential_s": round(t_seq, 2),
         "wall_s": {str(w): round(t, 2) for w, t in walls.items()},
@@ -79,6 +81,12 @@ def main() -> int:
                                   for w, t in walls.items()},
     }
     print(json.dumps(out))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARALLEL_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"recorded to {path}")
     return 0
 
 

@@ -129,6 +129,12 @@ def main() -> int:
             print(f"--- child {i} (rc={rcs[i]}) ---\n{o}", file=sys.stderr)
         raise RuntimeError("multi-host run failed")
     print(json.dumps(result))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MULTIHOST_r04.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(f"recorded to {path}")
     return 0
 
 
