@@ -182,6 +182,36 @@ proof_h, chal_h = prove_layer_sumcheck(
 assert proof_f == proof_h and chal_f == chal_h
 print("fused pallas-build layer parity OK")
 
+# MXU banded one-hot segment sum (relaxed output) vs numpy scatter-add
+from gkr_tpu.jaxeng.fused import build_wiring as _bw  # noqa: E402
+from gkr_tpu.jaxeng import limbs as _L  # noqa: E402
+
+_n = 1 << 16
+_G = 1 << 15
+_rng2 = np.random.default_rng(11)
+_gates = [(int(o), int(l), int(r)) for o, l, r in zip(
+    _rng2.integers(0, 16, _G), _rng2.integers(0, _n, _G),
+    _rng2.integers(0, _n, _G))]
+_w = _bw(_gates, [], _n)
+assert _w.mxu[0] > 0
+_gp = np.asarray(_w.a1_keys).shape[1]
+_wvals = _rng2.integers(0, 1 << 16, (16, _gp)).astype(np.uint32)
+_seg = PK.pl_seg_sum_T([jnp.asarray(_wvals)], _w.a1_keys, _w.a1_bi,
+                       _n, _w.mxu[0])[0]
+_got = np.asarray(jax.device_get(PK.pl_normalize_T(_seg)))
+_keys = np.asarray(_w.a1_keys)[0]
+_ref_rel = np.zeros((_n, 16), np.uint64)
+_real = _keys < _n
+np.add.at(_ref_rel, _keys[_real], _wvals[:, _real].T.astype(np.uint64))
+# normalize reference rows mod p (value interpretation, Montgomery-free)
+_PINT = P
+for _b in _rng2.integers(0, _n, 64):
+    _vgot = int.from_bytes(
+        np.asarray(_got[:, _b]).astype(np.uint16).tobytes(), "little")
+    _vref = sum(int(_ref_rel[_b, i]) << (16 * i) for i in range(16))
+    assert _vgot == (_vref % _PINT), f"seg sum mismatch at bucket {_b}"
+print("pl_seg_sum_T OK")
+
 # mimc
 xs = rand_fr(3)
 x_l = jnp.asarray(to_limbs(xs))

@@ -234,3 +234,58 @@ def test_sparse_from_dense_device_parity():
         assert len(got) == len(want)
         assert got == want
         assert list(got) == want
+
+
+def test_build_wiring_mxu_plan_invariants():
+    """Host-side MXU segment-sum plan (pl_seg_sum_T feed): window blocks
+    cover every tile's gate range, the pad block never aliases a real
+    one, and keys/index columns stay consistent with the hib fallback."""
+    import numpy as np
+
+    from gkr_tpu.jaxeng.fused import build_wiring
+    from gkr_tpu.jaxeng.pallas_kernels import SEG_NB
+
+    rng = random.Random(3)
+    k = 11
+    n = 1 << k
+    ag = [(g & 15, rng.randrange(n), rng.randrange(n))
+          for g in range(n // 2)]
+    mg = [(g & 15, rng.randrange(n), rng.randrange(n))
+          for g in range(n // 3)]
+    w = build_wiring(ag, mg, n)
+    assert n >= SEG_NB
+    for keys, bi, wb, hib, out_col in (
+            (w.a1_keys, w.a1_bi, w.mxu[0], w.a1_hib, w.a1_out),
+            (w.m1_keys, w.m1_bi, w.mxu[1], w.m1_hib, w.m1_out),
+            (w.a2_keys, w.a2_bi, w.mxu[2], w.a2_hib, w.a2_out),
+            (w.m2_keys, w.m2_bi, w.mxu[3], w.m2_hib, w.m2_out)):
+        assert wb > 0, "MXU plan expected for this size"
+        keys_np = np.asarray(keys)[0]
+        bi_np = np.asarray(bi)
+        hib_np = np.asarray(hib)
+        gp = keys_np.shape[0]
+        # padded/aligned: multiple of the window block, sorted keys, pad=n
+        assert gp % wb == 0
+        assert np.all(np.diff(keys_np) >= 0)
+        n_real = int(np.searchsorted(keys_np, n, side="left"))
+        assert n_real == len(ag) + len(mg) or keys_np[n_real] == n \
+            or n_real <= gp
+        assert np.all(keys_np[hib_np[-1]:] == n)
+        # index columns padded to the same length
+        assert np.asarray(out_col).shape[0] == gp
+        # per-tile coverage: gates of tile t live in blocks [bi, bi+1]
+        hib_z = np.concatenate([[0], hib_np])
+        n_tiles = n // SEG_NB
+        assert bi_np.shape[0] == 2 * n_tiles
+        for t in range(n_tiles):
+            lo_g = int(hib_z[t * SEG_NB])
+            hi_g = int(hib_z[(t + 1) * SEG_NB])
+            b0 = int(bi_np[2 * t])
+            b1 = int(bi_np[2 * t + 1])
+            assert b1 == b0 + 1
+            assert b0 * wb <= lo_g
+            assert hi_g <= (b0 + 2) * wb, \
+                f"tile {t} gates [{lo_g},{hi_g}) not covered by " \
+                f"blocks [{b0 * wb},{(b0 + 2) * wb})"
+            # the fetched blocks exist in the padded array
+            assert (b1 + 1) * wb <= gp
