@@ -73,10 +73,12 @@ def _multi_point_fold(W, pts):
     dominant restrict_to_line cost at 2^20)."""
     from .fused import _pallas_platform
 
+    import os as _os
     npts = pts.shape[0]
     n = W.shape[0]
     k = pts.shape[1]
-    use_pallas = _pallas_platform()
+    use_pallas = (_pallas_platform()
+                  and _os.environ.get("GKR_FOLD_PALLAS", "1") == "1")
     T = jnp.broadcast_to(W, (npts, n, 16))
     for j in range(k):
         half = T.shape[1] // 2

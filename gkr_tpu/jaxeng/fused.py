@@ -326,9 +326,11 @@ def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
             oth_col = g[othercol][perm].astype(np.int32)
             # MXU plan: per NB-bucket tile, the sorted-gate window
             # [lo_g, hi_g) and the pow2 block width covering every span
+            # (GKR_SEG_MXU=0 disables — cumsum fallback, for debugging)
             key = f"{name}{phase}"
             mxu[key] = 0
-            if n >= SEG_NB and n % SEG_NB == 0 and len(gates) > 0:
+            if (n >= SEG_NB and n % SEG_NB == 0 and len(gates) > 0
+                    and _os.environ.get("GKR_SEG_MXU", "1") == "1"):
                 hib_z = np.concatenate([[0], hib])
                 lo_g = hib_z[np.arange(0, n, SEG_NB)]
                 hi_g = hib_z[np.arange(SEG_NB, n + 1, SEG_NB)]

@@ -75,8 +75,10 @@ def pack(values, montgomery: bool = True) -> jnp.ndarray:
     bigint modmul per element — ~3 s per 2^20 witness layer, the
     dominant stage of a full prove) and multiply by R^2 on device
     instead: v * R2 / R = v * R mod p, bit-identical."""
+    import os as _os
     n = len(values)
-    if montgomery and n >= PACK_DEVICE_MIN:
+    if (montgomery and n >= PACK_DEVICE_MIN
+            and _os.environ.get("GKR_PACK_FAST", "1") == "1"):
         b = b"".join((int(v) % P).to_bytes(32, "little") for v in values)
         raw = np.frombuffer(b, dtype=np.uint16).astype(np.uint32)
         dev = jnp.asarray(raw.reshape(n, N_LIMBS))
