@@ -48,8 +48,8 @@ config, the 2^24 scaling config (GKR_BENCH_TOPK overrides; 0 skips), a
 FULL multi-layer prove (layer walk + mle_struct + restrict_to_line +
 sparse_from_dense + full-strength host verify), and the native 3-round
 mimc aggregation end-to-end (GKR_BENCH_AGG=0 skips), emitted under
-"extra" in the same JSON line; the recorded sweep for this round is
-committed as BENCH_extra_r04.json at the repo root.
+"extra" in the same JSON line.  Recorded sweeps live at the repo root as
+BENCH_extra_r<N>.json; see git log for the round each was taken in.
 """
 
 from __future__ import annotations
@@ -189,6 +189,52 @@ def _measure_vpu_peak():
     if hi - lo <= 1e-4:
         raise RuntimeError("vpu peak unmeasurable (marginal time ~ 0)")
     return ROWS * N * (hi_reps - lo_reps) * CHAINS / (hi - lo) / 1e9
+
+
+def _measure_hash_latency():
+    """Measured serial latency (seconds) of one 3-element MiMC7-91
+    multi_hash in the Mosaic kernel — the Fiat-Shamir transcript cost
+    that no data parallelism touches: each of the v=2k rounds must hash
+    the round coefficients before the fold can use the challenge, a
+    91-round dependent scalar chain per hash.  Chained marginal timing
+    (h_{i+1} = H(h_i, a, b) depth-d inside one program) cancels both the
+    tunnel sync floor and the backend's coalescing of unchained calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from gkr_tpu.jaxeng import limbs as L
+    from gkr_tpu.jaxeng import pallas_kernels as PK
+    from gkr_tpu.field import P as _P
+
+    rng = random.Random(9)
+    a = L.pack_scalar(rng.randrange(_P))
+    b = L.pack_scalar(rng.randrange(_P))
+    h0 = L.pack_scalar(rng.randrange(_P))
+
+    def chain(depth):
+        @jax.jit
+        def f(h):
+            for _ in range(depth):
+                h = PK.pl_mimc_multi(jnp.stack([h, a, b]))
+            return h[0]
+        return f
+
+    def best_chain(depth):
+        f = chain(depth)
+        jax.device_get(f(h0))                # warm (compile)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_get(f(h0))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    lo_d, hi_d = 2, 10
+    dt = (best_chain(hi_d) - best_chain(lo_d)) / (hi_d - lo_d)
+    if dt <= 0:
+        raise RuntimeError("hash latency unmeasurable (marginal time ~ 0)")
+    return dt
 
 
 def _min_hbm_bytes(n: int, na: int, nm: int) -> int:
@@ -563,15 +609,23 @@ def main() -> int:
                      if dev_kind.startswith(pfx)), None)
         if gbps and jax.devices()[0].platform != "cpu":
             vpu_gops = _measure_vpu_peak()
+            t_hash = _measure_hash_latency()
             hbm_min = _min_hbm_bytes(n, n // 2, n // 2) / (gbps * 1e9)
             vpu_min = mont_muls * OPS_PER_MONT_MUL / (vpu_gops * 1e9)
-            chip_min = max(hbm_min, vpu_min)
+            # serial Fiat-Shamir floor: v dependent transcript hashes per
+            # layer that throughput parallelism cannot touch (round-4
+            # verdict: the throughput-only roofline overstated the
+            # reachable gap)
+            serial_min = v * t_hash
+            chip_min = max(hbm_min, vpu_min, serial_min)
             roofline = {
                 "device_kind": dev_kind,
                 "hbm_gbps": gbps,
                 "vpu_u32_gops_measured": round(vpu_gops, 1),
+                "t_hash_ms_measured": round(t_hash * 1000, 3),
                 "hbm_min_ms": round(hbm_min * 1000, 2),
                 "vpu_min_ms": round(vpu_min * 1000, 2),
+                "serial_fs_min_ms": round(serial_min * 1000, 2),
                 "chip_min_ms": round(chip_min * 1000, 2),
                 "sol_vs_chip": round(chip_min / dt, 3),
             }

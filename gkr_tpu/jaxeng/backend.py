@@ -8,6 +8,8 @@ the large layers where the reference's rayon hot loop lives
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -65,20 +67,28 @@ def _from_mont(C):
     return L._redc(L._pad_last(C, 0, 16))
 
 
-@jax.jit
 def _multi_point_fold(W, pts):
     """Evaluate the MLE of W (n, 16) at npts points (npts, k, 16).
     The per-step Montgomery multiplies route through the Pallas kernel
     on TPU (the XLA limb lowering costs ~42 ms per 2^20 muls — the
-    dominant restrict_to_line cost at 2^20)."""
+    dominant restrict_to_line cost at 2^20).  GKR_FOLD_PALLAS=0 routes
+    the multiplies through the XLA lowering instead (A/B knob); it is
+    read here, OUTSIDE the jit, and passed as a static argument so
+    toggling it between calls takes effect (the compiled program is
+    cached per flag value, not stuck at whatever the first trace saw)."""
     from .fused import _pallas_platform
 
     import os as _os
+    use_pallas = (_pallas_platform()
+                  and _os.environ.get("GKR_FOLD_PALLAS", "1") == "1")
+    return _multi_point_fold_impl(W, pts, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _multi_point_fold_impl(W, pts, use_pallas):
     npts = pts.shape[0]
     n = W.shape[0]
     k = pts.shape[1]
-    use_pallas = (_pallas_platform()
-                  and _os.environ.get("GKR_FOLD_PALLAS", "1") == "1")
     T = jnp.broadcast_to(W, (npts, n, 16))
     for j in range(k):
         half = T.shape[1] // 2

@@ -339,11 +339,15 @@ def build_wiring(add_gates, mult_gates, n: int) -> LayerWiring:
                     if span else 512
                 if wb <= SEG_WB_CAP:
                     mxu[key] = wb
-                    # one extra wb block past the last real gate (the bi+1
-                    # window fetch), then round to the downstream kernels'
-                    # 2048-lane block so pl_mont_mul_T tiles evenly
+                    # two extra wb blocks past the last real gate: bi can
+                    # point one past the last real block when a tile's
+                    # window starts exactly at gp (trailing empty buckets),
+                    # and the bi+1 fetch then needs a second all-pad block —
+                    # both window fetches stay in bounds by construction.
+                    # Then round to the downstream kernels' 2048-lane block
+                    # so pl_mont_mul_T tiles evenly.
                     lane = max(wb, 2048)
-                    gpad = -(-((-(-gp // wb)) * wb + wb) // lane) * lane
+                    gpad = -(-((-(-gp // wb)) * wb + 2 * wb) // lane) * lane
                     out_col = np.pad(out_col, (0, gpad - gp))
                     oth_col = np.pad(oth_col, (0, gpad - gp))
                     sk_pad = np.full(gpad, n, np.int32)

@@ -221,4 +221,70 @@ want = Mimc7().multi_hash([int(v) for v in xs])
 assert got == want, (got, want)
 print("pl_mimc_multi OK")
 
+# ---------------------------------------------------------------- A/B knobs
+# Every env-reachable fork of the hot path must produce the identical
+# transcript (round-4 advisor: untested debug forks accumulate).  Each
+# knob is exercised here against the default path's output.
+
+# MIMC_BLOCK=True: the sublane-packed alternative MiMC kernel
+_saved_block = PK.MIMC_BLOCK
+try:
+    PK.MIMC_BLOCK = True
+    h_blk = np.asarray(jax.device_get(PK.pl_mimc_multi(x_l)))
+    assert from_limbs(h_blk[None, :])[0] == want, "MIMC_BLOCK kernel diverges"
+finally:
+    PK.MIMC_BLOCK = _saved_block
+print("MIMC_BLOCK=True parity OK")
+
+# GKR_SEG_MXU=0: cumsum fallback instead of the MXU banded segment sum
+os.environ["GKR_SEG_MXU"] = "0"
+try:
+    _w_nomxu = F.build_wiring(ag, mg, nf)
+    assert _w_nomxu.mxu == (0, 0, 0, 0), "GKR_SEG_MXU=0 did not disable plan"
+    proof_nm, chal_nm = F.prove_layer_sumcheck_fused(
+        zf, w_vals, ag, mg, 3, kf, struct, _M(), use_pallas=True,
+        wiring=_w_nomxu)
+    assert proof_nm == proof_h and chal_nm == chal_h, \
+        "GKR_SEG_MXU=0 transcript diverges"
+finally:
+    del os.environ["GKR_SEG_MXU"]
+print("GKR_SEG_MXU=0 parity OK")
+
+# GKR_FUSED_PHASE=0: eager per-round dispatches + scan tail (A/B shape).
+# FUSED_PHASE is baked at module import, so flip the module constant.
+_saved_fp = F.FUSED_PHASE
+try:
+    F.FUSED_PHASE = False
+    proof_e, chal_e = F.prove_layer_sumcheck_fused(
+        zf, w_vals, ag, mg, 3, kf, struct, _M(), use_pallas=True)
+    assert proof_e == proof_h and chal_e == chal_h, \
+        "GKR_FUSED_PHASE=0 transcript diverges"
+finally:
+    F.FUSED_PHASE = _saved_fp
+print("GKR_FUSED_PHASE=0 parity OK")
+
+# GKR_FOLD_PALLAS=0: XLA limb lowering instead of the Pallas mul in
+# _multi_point_fold (read per call since round 5)
+from gkr_tpu.jaxeng import backend as _B  # noqa: E402
+_Wf = jnp.asarray(to_limbs(rand_fr(1 << 11)))
+_pts = jnp.asarray(to_limbs(rand_fr(2 * 11)).reshape(2, 11, 16))
+_f_pl = np.asarray(jax.device_get(_B._multi_point_fold(_Wf, _pts)))
+os.environ["GKR_FOLD_PALLAS"] = "0"
+try:
+    _f_xla = np.asarray(jax.device_get(_B._multi_point_fold(_Wf, _pts)))
+finally:
+    del os.environ["GKR_FOLD_PALLAS"]
+assert (_f_pl == _f_xla).all(), "GKR_FOLD_PALLAS paths diverge"
+print("GKR_FOLD_PALLAS=0 parity OK")
+
+# GKR_PACK_FAST=0: slow per-int packing path in limbs.pack
+os.environ["GKR_PACK_FAST"] = "0"
+try:
+    _slow = np.asarray(jax.device_get(L.pack([int(v) for v in a_v[:64]])))
+finally:
+    del os.environ["GKR_PACK_FAST"]
+_fast = np.asarray(jax.device_get(L.pack([int(v) for v in a_v[:64]])))
+assert (_slow == _fast).all(), "GKR_PACK_FAST paths diverge"
+print("GKR_PACK_FAST=0 parity OK")
+
 print("ALL KERNELS OK")

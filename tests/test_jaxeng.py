@@ -252,13 +252,27 @@ def test_build_wiring_mxu_plan_invariants():
           for g in range(n // 2)]
     mg = [(g & 15, rng.randrange(n), rng.randrange(n))
           for g in range(n // 3)]
-    w = build_wiring(ag, mg, n)
+    _check_mxu_plan(build_wiring(ag, mg, n), n, ag, mg, SEG_NB)
+
+    # Edge case: exact power-of-two gate counts that all land in the LOW
+    # output buckets, leaving every trailing bucket empty — the last
+    # tiles' windows start exactly at gp and both fetched blocks must
+    # still be all-pad blocks inside the padded array (advisor r04).
+    ag2 = [(g & 7, rng.randrange(n), rng.randrange(n))
+           for g in range(n // 2)]
+    mg2 = [(g & 7, rng.randrange(n), rng.randrange(n))
+           for g in range(n // 2)]
+    _check_mxu_plan(build_wiring(ag2, mg2, n), n, ag2, mg2, SEG_NB)
+
+
+def _check_mxu_plan(w, n, ag, mg, SEG_NB):
+    import numpy as np
     assert n >= SEG_NB
-    for keys, bi, wb, hib, out_col in (
-            (w.a1_keys, w.a1_bi, w.mxu[0], w.a1_hib, w.a1_out),
-            (w.m1_keys, w.m1_bi, w.mxu[1], w.m1_hib, w.m1_out),
-            (w.a2_keys, w.a2_bi, w.mxu[2], w.a2_hib, w.a2_out),
-            (w.m2_keys, w.m2_bi, w.mxu[3], w.m2_hib, w.m2_out)):
+    for keys, bi, wb, hib, out_col, n_gates in (
+            (w.a1_keys, w.a1_bi, w.mxu[0], w.a1_hib, w.a1_out, len(ag)),
+            (w.m1_keys, w.m1_bi, w.mxu[1], w.m1_hib, w.m1_out, len(mg)),
+            (w.a2_keys, w.a2_bi, w.mxu[2], w.a2_hib, w.a2_out, len(ag)),
+            (w.m2_keys, w.m2_bi, w.mxu[3], w.m2_hib, w.m2_out, len(mg))):
         assert wb > 0, "MXU plan expected for this size"
         keys_np = np.asarray(keys)[0]
         bi_np = np.asarray(bi)
@@ -267,9 +281,11 @@ def test_build_wiring_mxu_plan_invariants():
         # padded/aligned: multiple of the window block, sorted keys, pad=n
         assert gp % wb == 0
         assert np.all(np.diff(keys_np) >= 0)
+        # real/pad boundary: exactly this column's gates are real (<n);
+        # everything after is the pad key n
         n_real = int(np.searchsorted(keys_np, n, side="left"))
-        assert n_real == len(ag) + len(mg) or keys_np[n_real] == n \
-            or n_real <= gp
+        assert n_real == n_gates
+        assert np.all(keys_np[n_real:] == n)
         assert np.all(keys_np[hib_np[-1]:] == n)
         # index columns padded to the same length
         assert np.asarray(out_col).shape[0] == gp
@@ -289,3 +305,52 @@ def test_build_wiring_mxu_plan_invariants():
                 f"blocks [{b0 * wb},{(b0 + 2) * wb})"
             # the fetched blocks exist in the padded array
             assert (b1 + 1) * wb <= gp
+
+
+def test_env_knob_parity(monkeypatch):
+    """Host-reachable A/B env knobs produce identical results to the
+    defaults (round-4 advisor: untested debug forks of the hot path).
+    The TPU-only forks (GKR_FUSED_PHASE, GKR_FOLD_PALLAS, MIMC_BLOCK,
+    and GKR_SEG_MXU's Pallas consumer pl_seg_sum_T) are pinned on-chip
+    by the A/B section of scripts/check_kernels.py — the CPU engine
+    never reads the MXU plan, so transcript parity here would be
+    vacuous (and the k>=10 CPU compile it needs is enormous)."""
+    import numpy as np
+
+    from gkr_tpu.jaxeng.fused import build_wiring
+
+    rng = random.Random(31)
+    # GKR_PACK_FAST=0: slow per-int packing must match the fast path
+    vals = [rng.randrange(P) for _ in range(64)] + [0, 1, P - 1]
+    fast = np.asarray(L.pack(vals))
+    monkeypatch.setenv("GKR_PACK_FAST", "0")
+    slow = np.asarray(L.pack(vals))
+    monkeypatch.delenv("GKR_PACK_FAST")
+    assert (fast == slow).all()
+
+    # GKR_SEG_MXU=0: the wiring plan falls back to cumsum (mxu all zero)
+    # and ONLY the plan differs — every fallback column (sorted keys via
+    # hib, gather indices) is bitwise identical to the default build's,
+    # so the knob cannot change what the non-MXU consumers see
+    k = 11
+    n = 1 << k
+    ag = [(g & 15, rng.randrange(n), rng.randrange(n))
+          for g in range(n // 2)]
+    mg = [(g & 15, rng.randrange(n), rng.randrange(n))
+          for g in range(n // 3)]
+    w_mxu = build_wiring(ag, mg, n)
+    assert any(w_mxu.mxu)
+    monkeypatch.setenv("GKR_SEG_MXU", "0")
+    w_nomxu = build_wiring(ag, mg, n)
+    monkeypatch.delenv("GKR_SEG_MXU")
+    assert w_nomxu.mxu == (0, 0, 0, 0)
+    assert all(x is None for x in (w_nomxu.a1_keys, w_nomxu.m1_keys,
+                                   w_nomxu.a2_keys, w_nomxu.m2_keys))
+    for col in ("a1_out", "a1_in", "a1_hib", "m1_out", "m1_in", "m1_hib",
+                "a2_out", "a2_l", "a2_hib", "m2_out", "m2_l", "m2_hib"):
+        d, f = np.asarray(getattr(w_mxu, col)), \
+            np.asarray(getattr(w_nomxu, col))
+        # the MXU build pads index columns further (window blocks); the
+        # shared real prefix must be identical
+        m = min(d.shape[0], f.shape[0])
+        assert (d[:m] == f[:m]).all(), col
