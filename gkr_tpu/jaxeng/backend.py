@@ -234,3 +234,156 @@ class JaxBackend:
         rows = np.asarray(jax.device_get(
             _from_mont(C[jnp.asarray(nz, dtype=jnp.int32)])))
         return SparseMle(k, nz, rows)
+
+
+# ------------------------------------------------------- pipelined prover
+
+def prove_pipelined(circuit, w_values, transcript=None,
+                    backend: "JaxBackend | None" = None,
+                    z0=None, materialize_sparse: bool = True):
+    """Device-resident full prove with BATCHED synchronization.
+
+    `gkr_tpu.prover.prove` syncs the device once per layer (struct fetch,
+    coefficient download, and the host z-chain feeding the next build);
+    through the tunneled bench host each sync costs ~25 ms — more than an
+    entire small layer's round chain.  This walk keeps the whole
+    z-chain ON DEVICE (z_{i+1} = b* + (c* - b*) * r*, with r* = the
+    in-VMEM MiMC hash of the final round coefficients) and enqueues every
+    layer's programs back-to-back, paying exactly TWO device->host syncs
+    per proof:
+
+      1. the struct pass (per-layer Möbius support scalars — needed on
+         the host to fix the structural round-length schedule before the
+         chain is enqueued), and
+      2. one download of every layer's coefficients/challenges/q-points
+         at the end.
+
+    The host then re-validates the complete Fiat-Shamir transcript
+    (coefficients re-hashed with the host MiMC; divergence raises) and
+    assembles the same `Proof` object `prove` produces — transcripts are
+    bit-identical (tests/test_pipelined.py).
+
+    Mirrors the layer walk of rust/src/gkr/prover.rs:6-96 with the
+    aggregation loop's batching (rust/src/aggregator.rs:350-355) folded
+    into the device queue.
+    """
+    from ..field import interpolate
+    from ..mimc import Mimc7
+    from ..mle import line
+    from ..proof import Proof
+    from ..sumcheck import shape_coeffs
+    from . import fused as F
+
+    if transcript is None:
+        transcript = Mimc7()
+    if backend is None:
+        backend = JaxBackend()
+    backend.reset_cache()
+    depth = circuit.depth()
+    assert len(w_values) == depth + 1
+
+    # ---- pass 1: packed tables + struct scalars, ONE sync --------------
+    packed = [None] + [backend.packed(i, w_values[i])
+                       for i in range(1, depth + 1)]
+    struct_dev = [_struct_scalars(_mobius_dev(packed[i + 1]))
+                  for i in range(depth)]
+    struct_host = jax.device_get(struct_dev)
+    structs = []
+    for (sup, maxdeg, any_nz), wv in zip(struct_host, w_values[1:]):
+        k = len(wv).bit_length() - 1
+        if not bool(any_nz):
+            structs.append(MleStruct(k, True, [False] * k, 0))
+        else:
+            structs.append(MleStruct(k, False,
+                                     [bool(x) for x in np.asarray(sup)],
+                                     int(maxdeg)))
+
+    # ---- pass 2: enqueue the full layer chain, no syncs ----------------
+    use_pallas = F._pallas_platform()
+    k0 = circuit.k(0)
+    z0_host = list(z0) if z0 is not None else [0] * k0
+    z_dev = L.pack(z0_host) if k0 else jnp.zeros((0, 16), jnp.uint32)
+    per_layer = []
+    for i in range(depth):
+        layer = circuit.layers[i]
+        k_next = circuit.k(i + 1)
+        struct = structs[i]
+        wiring = backend.wiring(i + 1, layer.add_gates, layer.mult_gates,
+                                1 << k_next)
+        dev_arrays, finish = F.prove_layer_sumcheck_fused(
+            None, w_values[i + 1], layer.add_gates, layer.mult_gates,
+            layer.k_cur, k_next, struct, transcript,
+            w_dev=packed[i + 1], wiring=wiring, defer=True, z_dev=z_dev)
+        co1, co2, rs1, rs2 = dev_arrays
+        # r* = MiMC(final round coeffs) — the line challenge, on device
+        sup = struct.support if not struct.empty else [False] * k_next
+        from ..sumcheck import round_poly_len
+        ln_last = round_poly_len(2 * k_next, 2 * k_next, sup,
+                                 len(layer.add_gates) > 0,
+                                 len(layer.mult_gates) > 0)
+        last = co2[-1]
+        r_star_dev = F._hash_round(last[0], last[1], last[2], ln_last,
+                                   use_pallas)
+        # z_{i+1} = b* + (c* - b*) r*  (device limbs, feeds next build)
+        b_dev, c_dev = rs1, rs2
+        diff = L.sub_mod(c_dev, b_dev)
+        z_dev = L.add_mod(b_dev, L.mont_mul(
+            diff, jnp.broadcast_to(r_star_dev, diff.shape)))
+        # q_i = W~ restricted to the line: evaluate at deg+1 points of
+        # l(t) = b* + (c* - b*) t and interpolate on the host later
+        if struct.empty:
+            ys_dev = None
+        else:
+            deg = struct.maxdeg
+            t_rows = [L.pack_scalar(t) for t in range(deg + 1)]
+            pts = jnp.stack([
+                L.add_mod(b_dev, L.mont_mul(
+                    diff, jnp.broadcast_to(t_rows[t], diff.shape)))
+                for t in range(deg + 1)])
+            ys_dev = _multi_point_fold(packed[i + 1], pts)
+        per_layer.append((dev_arrays, finish, r_star_dev, ys_dev, struct))
+
+    # ---- one download for the whole proof ------------------------------
+    fetch = [(da, rsd, ys) for (da, _fin, rsd, ys, _s) in per_layer]
+    host = jax.device_get(fetch)
+
+    # ---- host-side Fiat-Shamir validation + assembly -------------------
+    z_chain = [z0_host]
+    sumcheck_proofs, sumcheck_r, q, r_stars = [], [], [], []
+    for i in range(depth):
+        (_da, finish, _rsd, _ysd, struct) = per_layer[i]
+        (host_da, host_rstar, host_ys) = host[i]
+        proof_i, chal_i = finish(host_da)
+        sumcheck_proofs.append(proof_i)
+        sumcheck_r.append(chal_i)
+        k_next = circuit.k(i + 1)
+        b_star, c_star = chal_i[:k_next], chal_i[k_next:]
+        r_star = transcript.multi_hash(proof_i[-1], 0)
+        if r_star != L.unpack(host_rstar.reshape(1, 16))[0]:
+            raise RuntimeError(
+                f"device/host Fiat-Shamir divergence at layer {i} r*")
+        r_stars.append(r_star)
+        z_chain.append(line(b_star, c_star, r_star))
+        if struct.empty:
+            q.append([0])
+        else:
+            ys = L.unpack(host_ys)
+            q.append(interpolate(list(zip(range(struct.maxdeg + 1), ys))))
+
+    if materialize_sparse:
+        d_sparse = backend.sparse_from_dense(w_values[0])
+        input_sparse = backend.sparse_from_dense(w_values[depth])
+    else:
+        d_sparse, input_sparse = [], []
+
+    return Proof(
+        sumcheck_proofs=sumcheck_proofs,
+        sumcheck_r=sumcheck_r,
+        d=d_sparse,
+        q=q,
+        z=z_chain,
+        r=r_stars,
+        depth=depth + 1,
+        input_func=input_sparse,
+        k=circuit.k_list(),
+    )

@@ -91,9 +91,14 @@ def _seg_recombine(seg):
     l1 = lo >> 16                                     # -> limb i+1
     h0 = (hi & jnp.uint32(0xFF)) << 8                 # -> limb i
     h1 = (hi >> 8) & jnp.uint32(0xFFFF)               # -> limb i+1
-    h2 = (hi >> 24) << 8                              # -> limb i+1
+    # top byte of the hi-part sum: (v>>24)*2^32 -> limb i+2.  (Round 4
+    # placed (v>>24)<<8 at limb i+1 = *2^24 — wrong by 2^8 as soon as an
+    # 8-bit column's bucket sum reached 2^24, i.e. >= ~2^16 gates in one
+    # bucket: exactly the hot-bucket layers of real compiled circuits.)
+    h2 = hi >> 24                                     # -> limb i+2
     return (L._pad_last(l0 + h0, 0, 2)
-            + L._pad_last(l1 + h1 + h2, 1, 1))
+            + L._pad_last(l1 + h1, 1, 1)
+            + L._pad_last(h2, 2, 0))
 
 
 def _seg_build_planned(perm, hi_b, weights, n):
@@ -130,9 +135,9 @@ def _seg_recombine_T(seg):
     l1 = lo >> 16
     h0 = (hi & jnp.uint32(0xFF)) << 8
     h1 = (hi >> 8) & jnp.uint32(0xFFFF)
-    h2 = (hi >> 24) << 8
+    h2 = hi >> 24                # (v>>24)*2^32 -> limb i+2 (see row twin)
     pad = lambda x, b, a: jnp.pad(x, ((b, a), (0, 0)))  # noqa: E731
-    return pad(l0 + h0, 0, 2) + pad(l1 + h1 + h2, 1, 1)
+    return pad(l0 + h0, 0, 2) + pad(l1 + h1, 1, 1) + pad(h2, 2, 0)
 
 
 def _shift_diff_T(H, first_col):
@@ -754,6 +759,7 @@ def prove_layer_sumcheck_fused(
     use_pallas: bool | None = None,
     wiring: LayerWiring | None = None,
     defer: bool = False,
+    z_dev=None,
 ):
     """Drop-in replacement for gkr_tpu.sumcheck.prove_layer_sumcheck — a
     device-resident round chain with exactly one download per layer, the
@@ -786,7 +792,10 @@ def prove_layer_sumcheck_fused(
 
     if w_dev is None:
         w_dev = L.pack(w_next)
-    z_dev = L.pack(z) if z else jnp.zeros((0, 16), jnp.uint32)
+    if z_dev is None:
+        # z may be a DEVICE (k_cur, 16) limb array already (the pipelined
+        # prover's device-resident z-chain) — in that case pass z_dev
+        z_dev = L.pack(z) if z else jnp.zeros((0, 16), jnp.uint32)
     if wiring is None:
         wiring = build_wiring(add_gates, mult_gates, n)
 

@@ -53,6 +53,26 @@ def _prove_subcircuit_task(args):
     return proof
 
 
+def _prove_auto(circuit, w_values, backend):
+    """prove(), routed through the device-resident pipelined walk when the
+    backend is a JaxBackend on an accelerator AND the circuit has
+    device-sized layers: prove_pipelined keeps the z-chain on device and
+    syncs twice per proof instead of once per layer (~25 ms each through
+    the tunneled host — the deferred batching of fused.py defer=True
+    threaded through the full layer walk, round-4 verdict task #5)."""
+    if backend is not None:
+        try:
+            from ..jaxeng.backend import JaxBackend, prove_pipelined
+            from ..jaxeng.fused import _pallas_platform
+            if (isinstance(backend, JaxBackend) and _pallas_platform()
+                    and any(l.k_next > backend.host_threshold
+                            for l in circuit.layers)):
+                return prove_pipelined(circuit, w_values, backend=backend)
+        except ImportError:  # pragma: no cover
+            pass
+    return prove(circuit, w_values, backend=backend)
+
+
 def prove_subcircuits(circuits, w_values_list, backend=None,
                       backend_factory=None, check_verify: bool = True,
                       max_workers: int = MAX_PROVE_WORKERS):
@@ -65,7 +85,7 @@ def prove_subcircuits(circuits, w_values_list, backend=None,
 
     def prove_one(idx: int):
         b = backend_factory() if backend_factory is not None else backend
-        proof = prove(circuits[idx], w_values_list[idx], backend=b)
+        proof = _prove_auto(circuits[idx], w_values_list[idx], b)
         if check_verify:
             assert verify_proof(proof, circuits[idx]), \
                 f"self-verification failed (subcircuit {idx})"

@@ -120,6 +120,30 @@ def test_seg_build_matches_scatter():
     assert L.unpack(t2) == want2
 
 
+def test_seg_build_hot_bucket_carry():
+    """>= 2^16 gates in ONE bucket with max-byte limb values: the 8+8
+    split's hi-part bucket sum exceeds 2^24 and its top byte must land at
+    limb i+2 (x 2^32).  Round 4 placed it at limb i+1 (x 2^24), corrupting
+    every hot-bucket table of real compiled circuits (the aggregation
+    subcircuits put ~2^18 gates on one wire) while staying invisible to
+    random sparse wirings — this is the regression pin."""
+    import jax
+    import jax.numpy as jnp
+
+    from gkr_tpu.jaxeng.fused import _seg_build
+
+    n = 4
+    G = 70000                       # > 2^16 gates, all in bucket 1
+    keys = [1] * G
+    val = P - 1                     # every 16-bit limb near 0xFFFF
+    w1 = [val] * G
+    t1, = jax.jit(lambda k_, a: _seg_build(k_, [a], n))(
+        jnp.asarray(keys, jnp.int32), L.pack(w1))
+    got = L.unpack(t1)
+    want = [0, (G * val) % P, 0, 0]
+    assert got == want
+
+
 def test_seg_build_chunked_path(monkeypatch):
     """The multi-chunk clipped-boundary path (gate lists past SEG_CHUNK)
     agrees with a host scatter.  SEG_CHUNK is shrunk so the chunking logic
