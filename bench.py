@@ -517,8 +517,20 @@ def run_full_prove(k: int, k_input: int = 16):
     ok = verify(proof, circuit)
     verify_s = time.time() - t1
     assert ok, "full-prove self-verification failed"
+    # pipelined walk: device-resident z-chain, two syncs per proof
+    # instead of one per layer (prove_pipelined)
+    try:
+        from gkr_tpu.jaxeng.backend import prove_pipelined
+        inner = backend.inner
+        p2 = prove_pipelined(circuit, w, backend=inner)   # warmup
+        t2 = time.time()
+        p2 = prove_pipelined(circuit, w, backend=inner)
+        pipe_s = time.time() - t2
+        assert verify(p2, circuit), "pipelined self-verification failed"
+    except Exception:  # pragma: no cover
+        pipe_s = None
     gates = sum(layer.n_gates() for layer in circuit.layers)
-    return gates, dt, dict(backend.t), verify_s
+    return gates, dt, dict(backend.t), verify_s, pipe_s
 
 
 def run_aggregation(n_inputs: int = 3):
@@ -693,7 +705,7 @@ def main() -> int:
         fk = int(os.environ.get("GKR_BENCH_FULL_K", str(k)))
         fki = int(os.environ.get("GKR_BENCH_FULL_KIN", "16"))
         try:
-            gates, fdt, stages, verify_s = run_full_prove(fk, fki)
+            gates, fdt, stages, verify_s, pipe_s = run_full_prove(fk, fki)
             extra["full_prove"] = {
                 "config": f"depth-3, 2^{fk}-gate layers, 2^{fki} inputs",
                 "total_gates": gates,
@@ -701,6 +713,10 @@ def main() -> int:
                 "gates_per_sec": round(gates / fdt, 1),
                 "stage_s": {s: round(t, 3) for s, t in stages.items()},
                 "host_verify_s": round(verify_s, 2),
+                "pipelined_prove_s": (round(pipe_s, 3)
+                                      if pipe_s else None),
+                "pipelined_gates_per_sec": (round(gates / pipe_s, 1)
+                                            if pipe_s else None),
             }
         except Exception as e:  # pragma: no cover
             extra["full_prove"] = {"error": str(e)}

@@ -348,6 +348,8 @@ def prove_pipelined(circuit, w_values, transcript=None,
     host = jax.device_get(fetch)
 
     # ---- host-side Fiat-Shamir validation + assembly -------------------
+    from ..mimc import fast_transcript
+    hasher = fast_transcript(transcript)
     z_chain = [z0_host]
     sumcheck_proofs, sumcheck_r, q, r_stars = [], [], [], []
     for i in range(depth):
@@ -358,7 +360,7 @@ def prove_pipelined(circuit, w_values, transcript=None,
         sumcheck_r.append(chal_i)
         k_next = circuit.k(i + 1)
         b_star, c_star = chal_i[:k_next], chal_i[k_next:]
-        r_star = transcript.multi_hash(proof_i[-1], 0)
+        r_star = hasher.multi_hash(proof_i[-1], 0)
         if r_star != L.unpack(host_rstar.reshape(1, 16))[0]:
             raise RuntimeError(
                 f"device/host Fiat-Shamir divergence at layer {i} r*")

@@ -391,8 +391,67 @@ def _mmul_T(aT, bT):
     return L.mont_mul(aT.T, bT.T).T
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
+@partial(jax.jit, static_argnums=(3, 4))
+def _b1_gm(w_T, z_dev, wiring, counts, n):
+    """Phase-1 build stage 1 (its own dispatch): eq(z) + gathers + muls."""
+    from . import pallas_kernels as PK
+    na, nm = counts[0], counts[1]
+    eqz_T = PK.pl_eq_table_T(z_dev)
+    out = [eqz_T]
+    if na:
+        wa = eqz_T[:, wiring.a1_out]
+        out += [wa, _mmul_T(wa, w_T[:, wiring.a1_in])]
+    if nm:
+        wm = eqz_T[:, wiring.m1_out]
+        out.append(_mmul_T(wm, w_T[:, wiring.m1_in]))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _b1_seg(parts, counts, n, wiring):
+    """Phase-1 build stage 2: segment sums (MXU plan or cumsum)."""
+    from . import pallas_kernels as PK
+    na, nm = counts[0], counts[1]
+    fa1, fm1 = counts[2], counts[3]
+    wba1, wbm1 = counts[4], counts[5]
+    i = 1
+    out = []
+    if na:
+        wa, prod_a = parts[i], parts[i + 1]
+        i += 2
+        if wba1:
+            out += PK.pl_seg_sum_T([wa, prod_a], wiring.a1_keys,
+                                   wiring.a1_bi, n, wba1)
+        else:
+            out += _seg_sorted_T(wiring.a1_hib, [wa, prod_a], n, fast=fa1)
+    if nm:
+        prod_m = parts[i]
+        if wbm1:
+            out += PK.pl_seg_sum_T([prod_m], wiring.m1_keys,
+                                   wiring.m1_bi, n, wbm1)
+        else:
+            out += _seg_sorted_T(wiring.m1_hib, [prod_m], n, fast=fm1)
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _b1_norm(w_T, rels, counts, n):
+    """Phase-1 build stage 3: normalize + table stack."""
+    from . import pallas_kernels as PK
+    na, nm = counts[0], counts[1]
+    zt = jnp.zeros((16, n), jnp.uint32)
+    i = 0
+    if na:
+        ha1 = PK.pl_normalize_T(rels[i])
+        ha2 = PK.pl_normalize_T(rels[i + 1])
+        i += 2
+    else:
+        ha1 = ha2 = zt
+    hm = PK.pl_normalize_T(rels[i]) if nm else zt
+    return jnp.stack([w_T, ha1, ha2, hm])                # (4, 16, n)
+
+
+def _build_phase1(w, z_dev, wiring, counts, n, pallas=False):
     """Upload-once phase-1 prep: eqz + the HA1/HA2 (add) and HM (mult)
     tables, stacked with W into the round stack — (n, 4, 16) row layout,
     or (4, 16, n) limb-on-sublane layout when `pallas`.  On the Pallas path
@@ -404,44 +463,37 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     the phase-2 build.
 
     `counts` is STATIC: (n_add, n_mult, fast_a1, fast_m1, wb_a1, wb_m1)
-    with the fast flags and MXU window widths from build_wiring."""
+    with the fast flags and MXU window widths from build_wiring.
+
+    `w` is the (n, 16) witness table, or a ((n, 16), (16, n)) pair with
+    the transpose PRE-MATERIALIZED (pl_transpose_T, once per layer).
+    The Pallas path runs as THREE dispatched programs (gather+mul /
+    segment sum / normalize+stack): measured 17.6 ms vs 34 ms for the
+    same graph compiled as one program at 2^20 — XLA schedules the
+    monolith ~2x worse around the Mosaic custom calls, and per-dispatch
+    cost of a jitted program is ~0.1 ms."""
+    w_dev, w_T_pre = w if isinstance(w, tuple) else (w, None)
     na, nm = counts[0], counts[1]
     fa1 = counts[2] if len(counts) > 2 else False
     fm1 = counts[3] if len(counts) > 3 else False
     wba1 = counts[4] if len(counts) > 4 else 0
     wbm1 = counts[5] if len(counts) > 5 else 0
+    cfull = (na, nm, fa1, fm1, wba1, wbm1)
     if pallas:
         from . import pallas_kernels as PK
-        w_T = w_dev.T
-        eqz_T = PK.pl_eq_table_T(z_dev)
-        zt = jnp.zeros((16, n), jnp.uint32)
-        if na:
-            wa = eqz_T[:, wiring.a1_out]
-            prod_a = _mmul_T(wa, w_T[:, wiring.a1_in])
-            if wba1:
-                ha1_rel, ha2_rel = PK.pl_seg_sum_T(
-                    [wa, prod_a], wiring.a1_keys, wiring.a1_bi, n, wba1)
-            else:
-                ha1_rel, ha2_rel = _seg_sorted_T(
-                    wiring.a1_hib, [wa, prod_a], n, fast=fa1)
-            ha1 = PK.pl_normalize_T(ha1_rel)
-            ha2 = PK.pl_normalize_T(ha2_rel)
-        else:
-            ha1 = ha2 = zt
-        if nm:
-            wm = eqz_T[:, wiring.m1_out]
-            prod_m = _mmul_T(wm, w_T[:, wiring.m1_in])
-            if wbm1:
-                (hm_rel,) = PK.pl_seg_sum_T(
-                    [prod_m], wiring.m1_keys, wiring.m1_bi, n, wbm1)
-            else:
-                (hm_rel,) = _seg_sorted_T(wiring.m1_hib, [prod_m], n,
-                                          fast=fm1)
-            hm = PK.pl_normalize_T(hm_rel)
-        else:
-            hm = zt
-        S1 = jnp.stack([w_T, ha1, ha2, hm])              # (4, 16, n)
-        return S1, eqz_T
+        w_T = w_T_pre if w_T_pre is not None else PK.pl_transpose_T(w_dev)
+        parts = _b1_gm(w_T, z_dev, wiring, (na, nm), n)
+        eqz_T = parts[0]
+        rels = _b1_seg(parts, cfull, n, wiring)
+        return _b1_norm(w_T, rels, (na, nm), n), eqz_T
+    return _build_phase1_xla(w_dev, z_dev, wiring, cfull, n)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _build_phase1_xla(w_dev, z_dev, wiring, counts, n):
+    """Row-layout (non-Pallas) phase-1 build — one program."""
+    na, nm = counts[0], counts[1]
+    fa1, fm1 = counts[2], counts[3]
     eqz = L.eq_table_device(z_dev)
     if na:
         wa = eqz[wiring.a1_out]
@@ -460,43 +512,92 @@ def _build_phase1(w_dev, z_dev, wiring, counts, n, pallas=False):
     return S1, eqz
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
-def _build_phase2(w_dev, b_star, wb, eqz, wiring, counts, n, pallas=False):
+@partial(jax.jit, static_argnums=(4, 5))
+def _b2_gm(w_T, b_star, eqz, wiring, counts, n):
+    """Phase-2 build stage 1: eq(b*) + gathers + muls."""
+    from . import pallas_kernels as PK
+    na, nm = counts[0], counts[1]
+    eqb_T = PK.pl_eq_table_T(b_star)
+    out = []
+    if na:
+        out.append(_mmul_T(eqz[:, wiring.a2_out], eqb_T[:, wiring.a2_l]))
+    if nm:
+        out.append(_mmul_T(eqz[:, wiring.m2_out], eqb_T[:, wiring.m2_l]))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _b2_seg(parts, counts, n, wiring):
+    """Phase-2 build stage 2: segment sums."""
+    from . import pallas_kernels as PK
+    na, nm = counts[0], counts[1]
+    fa2, fm2 = counts[2], counts[3]
+    wba2, wbm2 = counts[4], counts[5]
+    i = 0
+    out = []
+    if na:
+        wa2 = parts[i]
+        i += 1
+        if wba2:
+            out += PK.pl_seg_sum_T([wa2], wiring.a2_keys, wiring.a2_bi,
+                                   n, wba2)
+        else:
+            out += _seg_sorted_T(wiring.a2_hib, [wa2], n, fast=fa2)
+    if nm:
+        wm2 = parts[i]
+        if wbm2:
+            out += PK.pl_seg_sum_T([wm2], wiring.m2_keys, wiring.m2_bi,
+                                   n, wbm2)
+        else:
+            out += _seg_sorted_T(wiring.m2_hib, [wm2], n, fast=fm2)
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _b2_norm(w_T, rels, wb, counts, n):
+    """Phase-2 build stage 3: normalize (+wb mul) + table stack."""
+    from . import pallas_kernels as PK
+    na, nm = counts[0], counts[1]
+    zt = jnp.zeros((16, n), jnp.uint32)
+    i = 0
+    if na:
+        fa = PK.pl_normalize_T(rels[i])
+        i += 1
+    else:
+        fa = zt
+    fmwb = PK.pl_normalize_mul_T(rels[i], wb) if nm else zt
+    return jnp.stack([w_T, fa, fmwb])                    # (3, 16, n)
+
+
+def _build_phase2(w, b_star, wb, eqz, wiring, counts, n, pallas=False):
     """Phase-2 prep: eq(b*) table + the FA and FM*W~(b*) tables, stacked
     with W — layouts as in _build_phase1 (`eqz` arrives in the matching
     layout: (16, 2^kc) when pallas, (2^kc, 16) otherwise).  `counts` is
-    STATIC: (n_add, n_mult, fast_a2, fast_m2, wb_a2, wb_m2)."""
+    STATIC: (n_add, n_mult, fast_a2, fast_m2, wb_a2, wb_m2).  `w` as in
+    _build_phase1 (bare table or (table, pre-materialized transpose));
+    the Pallas path is staged into three dispatches for the same
+    monolith-scheduling reason."""
+    w_dev, w_T_pre = w if isinstance(w, tuple) else (w, None)
     na, nm = counts[0], counts[1]
     fa2 = counts[2] if len(counts) > 2 else False
     fm2 = counts[3] if len(counts) > 3 else False
     wba2 = counts[4] if len(counts) > 4 else 0
     wbm2 = counts[5] if len(counts) > 5 else 0
+    cfull = (na, nm, fa2, fm2, wba2, wbm2)
     if pallas:
         from . import pallas_kernels as PK
-        w_T = w_dev.T
-        eqb_T = PK.pl_eq_table_T(b_star)
-        zt = jnp.zeros((16, n), jnp.uint32)
-        if na:
-            wa2 = _mmul_T(eqz[:, wiring.a2_out], eqb_T[:, wiring.a2_l])
-            if wba2:
-                (fa_rel,) = PK.pl_seg_sum_T(
-                    [wa2], wiring.a2_keys, wiring.a2_bi, n, wba2)
-            else:
-                (fa_rel,) = _seg_sorted_T(wiring.a2_hib, [wa2], n, fast=fa2)
-            fa = PK.pl_normalize_T(fa_rel)
-        else:
-            fa = zt
-        if nm:
-            wm2 = _mmul_T(eqz[:, wiring.m2_out], eqb_T[:, wiring.m2_l])
-            if wbm2:
-                (fm_rel,) = PK.pl_seg_sum_T(
-                    [wm2], wiring.m2_keys, wiring.m2_bi, n, wbm2)
-            else:
-                (fm_rel,) = _seg_sorted_T(wiring.m2_hib, [wm2], n, fast=fm2)
-            fmwb = PK.pl_normalize_mul_T(fm_rel, wb)
-        else:
-            fmwb = zt
-        return jnp.stack([w_T, fa, fmwb])                # (3, 16, n)
+        w_T = w_T_pre if w_T_pre is not None else PK.pl_transpose_T(w_dev)
+        parts = _b2_gm(w_T, b_star, eqz, wiring, (na, nm), n)
+        rels = _b2_seg(parts, cfull, n, wiring)
+        return _b2_norm(w_T, rels, wb, (na, nm), n)
+    return _build_phase2_xla(w_dev, b_star, wb, eqz, wiring, cfull, n)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _build_phase2_xla(w_dev, b_star, wb, eqz, wiring, counts, n):
+    """Row-layout (non-Pallas) phase-2 build — one program."""
+    na, nm = counts[0], counts[1]
+    fa2, fm2 = counts[2], counts[3]
     eqb = L.eq_table_device(b_star)
     if na:
         wa2 = L.mont_mul(eqz[wiring.a2_out], eqb[wiring.a2_l])
@@ -591,6 +692,9 @@ def _hash_round(c2, c1, c0, length, use_pallas):
     return _hash3(c2, c1, c0) if length == 3 else _hash2(c1, c0)
 
 
+from ..mimc import fast_transcript as _fast_transcript  # noqa: E402
+
+
 _INV2_POWS_CACHE: dict = {}
 
 
@@ -614,11 +718,18 @@ def _inv2_pows(k: int):
     return jnp.asarray(t)
 
 
-SCAN_MAX = 1 << 15   # table size at which the round chain enters the scan
-                     # program: above it eval is VPU-compute-bound and true
-                     # halving wins; below it rounds are dispatch-bound
-                     # (~1 ms enqueue through the tunnel vs ~0.5 ms compute)
-                     # and one fixed-shape scan program wins
+SCAN_MAX = 1 << 11   # table size at which the round chain enters the scan
+                     # program.  The scan keeps the table at this FIXED
+                     # physical size (replication), so every tail round
+                     # pays SCAN_MAX-entry eval/fold work regardless of the
+                     # true (halved) size; since round 4 the eager rounds
+                     # are unrolled inside the SAME compiled phase program
+                     # (_phase_full), so the old dispatch-cost argument for
+                     # a large threshold is gone.  Lowering 2^15 -> 2^11
+                     # cut the measured 2^20 layer by ~19 ms on the v5e
+                     # (the scan tail was doing 15 x 2^15 entry-evals per
+                     # phase where the honest halving chain does ~2^15
+                     # total).
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -672,7 +783,9 @@ def _phase_full(S_T, wb, inv_pows, is3, sched_eager, phase: int):
 
 
 import os as _os
-FUSED_PHASE = _os.environ.get("GKR_FUSED_PHASE", "1") == "1"
+FUSED_PHASE = _os.environ.get("GKR_FUSED_PHASE", "1")
+if FUSED_PHASE not in ("0", "split"):
+    FUSED_PHASE = "1"
 
 
 def _run_phase_pallas(S_T, sched_phase, phase, wb):
@@ -696,9 +809,19 @@ def _run_phase_pallas(S_T, sched_phase, phase, wb):
     is3 = jnp.asarray([sched_phase[n_eager + j] == 3 for j in range(rest)],
                       dtype=jnp.bool_)
     inv_pows = _inv2_pows(rest) if rest else jnp.zeros((0, 16), jnp.uint32)
-    if FUSED_PHASE:
+    if FUSED_PHASE == "1":
         return _phase_full(S_T, wb, inv_pows, is3,
                            tuple(sched_phase[:n_eager]), phase)
+    if FUSED_PHASE == "split" and n_eager and rest:
+        # A/B: eager rounds as ONE program, scan tail as another — two
+        # dispatches per phase instead of one
+        empty3 = jnp.zeros((0,), jnp.bool_)
+        empty_inv = jnp.zeros((0, 16), jnp.uint32)
+        S_T, co_e, rs_e = _phase_full(S_T, wb, empty_inv, empty3,
+                                      tuple(sched_phase[:n_eager]), phase)
+        S_T, co_s, rs_s = _phase_full(S_T, wb, inv_pows, is3, (), phase)
+        return (S_T, jnp.concatenate([co_e, co_s]),
+                jnp.concatenate([rs_e, rs_s]))
     co_list, rs_list = [], []
     for idx in range(n_eager):
         co = (_p1_round_T(S_T) if phase == 1
@@ -802,7 +925,13 @@ def prove_layer_sumcheck_fused(
     pallas_build = use_pallas and n >= PALLAS_MIN
     fast = wiring.fast
     mxu = wiring.mxu
-    S1, eqz = _build_phase1(w_dev, z_dev, wiring,
+    if pallas_build:
+        from . import pallas_kernels as PK
+        # one materialized transpose per layer, shared by both builds
+        w_arg = (w_dev, PK.pl_transpose_T(w_dev))
+    else:
+        w_arg = w_dev
+    S1, eqz = _build_phase1(w_arg, z_dev, wiring,
                             (na, nm, fast[0], fast[1], mxu[0], mxu[1]),
                             n, pallas_build)
     if pallas_build:
@@ -817,7 +946,7 @@ def prove_layer_sumcheck_fused(
         b_star = jnp.stack(rs1_list)
         co1, rs1 = jnp.stack(rows1), b_star
 
-    S2 = _build_phase2(w_dev, b_star, wb, eqz, wiring,
+    S2 = _build_phase2(w_arg, b_star, wb, eqz, wiring,
                        (na, nm, fast[2], fast[3], mxu[2], mxu[3]),
                        n, pallas_build)
     if pallas_build:
@@ -829,6 +958,7 @@ def prove_layer_sumcheck_fused(
 
     def finish(host_arrays):
         h1, h2, hr1, hr2 = host_arrays
+        hasher = _fast_transcript(transcript)
         flat = L.unpack(np.concatenate([h1, h2]))      # v * 3 ints
         rs_device = L.unpack(np.concatenate([hr1, hr2]))   # v ints
         proof: list[list[int]] = []
@@ -837,7 +967,7 @@ def prove_layer_sumcheck_fused(
             full = flat[3 * (j - 1): 3 * j]
             coeffs = shape_coeffs(full, sched[j - 1])
             proof.append(coeffs)
-            r = transcript.multi_hash(coeffs, 0)
+            r = hasher.multi_hash(coeffs, 0)
             if r != rs_device[j - 1]:
                 # explicit exception (not assert): must fire under -O too
                 raise RuntimeError(

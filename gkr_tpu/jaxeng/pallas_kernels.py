@@ -862,6 +862,30 @@ def pl_mimc_multi(x):
     return prog(x)
 
 
+TR_BLK = 2048
+
+
+def _tr_kernel(w_ref, o_ref):
+    o_ref[:] = jnp.transpose(w_ref[:], (1, 0))
+
+
+@jax.jit
+def pl_transpose_T(w):
+    """Materialized (n, 16) -> (16, n) u32 transpose as a Pallas kernel:
+    0.9 ms per 2^20 rows on the v5e.  XLA fuses its transpose into the
+    consumer (e.g. the build's table stack), turning a 64 MB copy into a
+    ~18 ms strided write — materializing once per layer and stacking
+    contiguous arrays removes that cost from BOTH phase builds."""
+    n = w.shape[0]
+    if n % TR_BLK:
+        return jnp.transpose(w)
+    return pl.pallas_call(
+        _tr_kernel, grid=(n // TR_BLK,),
+        in_specs=[pl.BlockSpec((TR_BLK, 16), lambda t: (t, 0))],
+        out_specs=pl.BlockSpec((16, TR_BLK), lambda t: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((16, n), jnp.uint32))(w)
+
+
 @jax.jit
 def to_T(S):
     """(n, T, 16) -> (T, 16, n)."""

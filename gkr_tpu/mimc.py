@@ -109,3 +109,25 @@ class EthsnarksMimc:
             x = x % P
             r = (r + x + self.hash(x, r)) % P
         return r
+
+
+_FAST_MIMC_CACHE: list = []
+
+
+def fast_transcript(transcript: "Mimc7") -> "Mimc7":
+    """Native-MiMC drop-in for hot host-side transcript hashing (proof
+    validation / verification re-hash every round's coefficients; the
+    pure-Python hash costs ~0.6 ms vs ~0.08 ms in libgkrhost — ~25 ms vs
+    ~3 ms per 2^20 layer).  Swapped ONLY for a plain Mimc7 instance: an
+    exact-type check, so transcript subclasses (tests model forged
+    challenge schedules with them) keep their own hashing.  Falls back to
+    the given transcript when libgkrhost is unavailable."""
+    if type(transcript) is not Mimc7:
+        return transcript
+    if not _FAST_MIMC_CACHE:
+        try:
+            from .native.engine import NativeMimc7
+            _FAST_MIMC_CACHE.append(NativeMimc7())
+        except Exception:
+            _FAST_MIMC_CACHE.append(None)
+    return _FAST_MIMC_CACHE[0] or transcript

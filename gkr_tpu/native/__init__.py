@@ -36,12 +36,15 @@ def build(force: bool = False) -> str | None:
 
 
 def lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+    GKR_NO_NATIVE=1 disables it (fallback paths / fault isolation)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("GKR_NO_NATIVE", "") == "1":
+            return None
         so = build()
         if so is None:
             return None

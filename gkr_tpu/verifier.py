@@ -39,8 +39,16 @@ class VerifyError(Exception):
 def verify(proof: Proof, circuit: GKRCircuit | None = None,
            transcript: Mimc7 | None = None,
            raise_on_fail: bool = False) -> bool:
+    if transcript is None:
+        # verification recomputes every Fiat-Shamir hash; the native MiMC
+        # (same transcripts, libgkrhost) is ~7x the pure-Python engine.
+        # Only the default transcript is swapped — an explicit transcript
+        # argument (tests model forged schedules with subclasses) is used
+        # as given.
+        from .mimc import fast_transcript
+        transcript = fast_transcript(Mimc7())
     try:
-        _verify(proof, circuit, transcript or Mimc7())
+        _verify(proof, circuit, transcript)
         return True
     except VerifyError:
         if raise_on_fail:

@@ -105,6 +105,13 @@ def main():
         "transcript_identical": True,
     }
     print(json.dumps(out))
+    name = os.environ.get("GKR_SHARDED_OUT", "SHARDED_TPU_r05.json")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), name)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"recorded to {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

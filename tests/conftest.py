@@ -10,6 +10,15 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8").strip()
 
+# Disable the persistent compilation cache for the CPU suite (empty =
+# gkr_tpu.jaxeng skips enabling it): XLA:CPU caches AOT-compiled HOST
+# machine code whose recorded target features never match the loader's,
+# and a cache READ of such an entry segfaults the process (reproduced in
+# round 5 inside jax compilation_cache.get_executable_and_time).  The
+# TPU-side scripts keep their cache — the TPU plugin serializes portable
+# executables, not host code.
+os.environ["GKR_TPU_JAX_CACHE"] = ""
+
 import jax  # noqa: E402
 
 if "cpu" not in jax.config.jax_platforms.split(",")[0]:
